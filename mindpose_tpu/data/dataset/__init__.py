@@ -1,0 +1,5 @@
+from .bottomup import BottomUpDataset
+from .coco_bottomup import COCOBottomUpDataset
+from .coco_topdown import COCOTopDownDataset
+from .imagefolder_bottomup import ImageFolderBottomUpDataset
+from .topdown import TopDownDataset

@@ -1,0 +1,147 @@
+"""Host input pipeline: sharded, shuffled, threaded, prefetching loader.
+
+Replaces the reference's MindSpore GeneratorDataset + map + batch stack
+(/root/reference/mindpose/data/data_factory.py:59-150) with a framework-owned
+loader designed for TPU feeding:
+
+- per-process sharding (``rank_id::device_num`` slicing, matching the
+  reference's num_shards/shard_id semantics),
+- epoch-seeded shuffling on train,
+- a thread pool running cv2 decode + transforms (cv2 releases the GIL, so
+  threads parallelize the warp/encode hot loop without pickling overhead),
+- bounded-queue prefetch of assembled batches so the accelerator never waits
+  on the host; device transfer overlaps via JAX async dispatch.
+"""
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+__all__ = ["DataLoader"]
+
+
+def _decode_image(state: Dict[str, Any]) -> Dict[str, Any]:
+    """Read + decode the record's image file into an RGB uint8 HWC array."""
+    img = cv2.imread(state["image_file"], cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(f"cannot read image: {state['image_file']}")
+    state["image"] = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return state
+
+
+class DataLoader:
+    """Iterate batches of stacked numpy arrays over the sharded dataset."""
+
+    def __init__(
+        self,
+        dataset: Any,
+        transforms: Sequence[Callable[[Dict[str, Any]], Dict[str, Any]]],
+        final_columns: Sequence[str],
+        batch_size: int = 1,
+        is_train: bool = True,
+        normalize: bool = True,
+        normalize_mean: Sequence[float] = (0.485, 0.456, 0.406),
+        normalize_std: Sequence[float] = (0.229, 0.224, 0.225),
+        num_workers: int = 4,
+        device_num: Optional[int] = None,
+        rank_id: Optional[int] = None,
+        drop_remainder: Optional[bool] = None,
+        seed: int = 0,
+        prefetch_batches: int = 2,
+    ) -> None:
+        self.dataset = dataset
+        self.transforms = list(transforms)
+        self.final_columns = list(final_columns)
+        self.batch_size = batch_size
+        self.is_train = is_train
+        self.normalize = normalize
+        self.mean = np.asarray(normalize_mean, dtype=np.float32) * 255.0
+        self.std = np.asarray(normalize_std, dtype=np.float32) * 255.0
+        self.num_workers = max(1, num_workers)
+        self.device_num = device_num or 1
+        self.rank_id = rank_id or 0
+        self.drop_remainder = is_train if drop_remainder is None else drop_remainder
+        self.seed = seed
+        self.prefetch_batches = prefetch_batches
+        self.epoch = 0
+
+        self._indices = np.arange(len(dataset))[self.rank_id :: self.device_num]
+
+    def __len__(self) -> int:
+        n = len(self._indices)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    @property
+    def num_samples(self) -> int:
+        return len(self._indices)
+
+    def _process_one(self, idx: int) -> Dict[str, Any]:
+        state = self.dataset[int(idx)]
+        state = _decode_image(state)
+        for t in self.transforms:
+            state = t(state)
+        if self.normalize:
+            state["image"] = (
+                state["image"].astype(np.float32) - self.mean
+            ) / self.std
+        return state
+
+    def _collate(self, states: List[Dict[str, Any]]) -> Dict[str, Any]:
+        batch: Dict[str, Any] = {}
+        for col in self.final_columns:
+            vals = [s[col] for s in states]
+            if isinstance(vals[0], str):
+                batch[col] = np.array(vals, dtype=object)
+            else:
+                batch[col] = np.stack([np.asarray(v) for v in vals])
+        return batch
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = self._indices
+        if self.is_train:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            idx = idx.copy()
+            rng.shuffle(idx)
+        return idx
+
+    def __iter__(self):
+        indices = self._epoch_indices()
+        self.epoch += 1
+        n_batches = len(self)
+        batch_indices = [
+            indices[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    for bidx in batch_indices:
+                        if stop.is_set():
+                            return
+                        states = list(ex.map(self._process_one, bidx))
+                        out_q.put(self._collate(states))
+                out_q.put(None)
+            except BaseException as e:  # surface worker errors to the consumer
+                out_q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

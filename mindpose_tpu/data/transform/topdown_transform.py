@@ -1,0 +1,346 @@
+"""Top-down (single-instance crop) transforms.
+
+Parity: /root/reference/mindpose/data/transform/topdown_transform.py — the
+same geometry (pixel_std=200 center/scale convention, UDP warp, standard
+round-to-pixel vs UDP sub-pixel Gaussian encode), with the heatmap target
+emitted in HWK layout to match the framework's NHWC device tensors.
+"""
+from typing import Any, Dict, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from ...register import register
+from .transform import Transform
+from .utils import (
+    affine_transform,
+    fliplr_joints,
+    flip_index_from_pairs,
+    get_affine_transform,
+    get_warp_matrix,
+    warp_affine_joints,
+)
+
+__all__ = [
+    "TopDownTransform",
+    "TopDownBoxToCenterScale",
+    "TopDownAffine",
+    "TopDownGenerateTarget",
+    "TopDownHorizontalRandomFlip",
+    "TopDownHalfBodyTransform",
+    "TopDownRandomScaleRotation",
+]
+
+cv2.setNumThreads(2)
+
+
+class TopDownTransform(Transform):
+    def load_transform_cfg(self) -> Dict[str, Any]:
+        cfg = dict()
+        cfg["image_size"] = np.array(self.config["image_size"])
+        cfg["heatmap_size"] = np.array(self.config["heatmap_size"])
+        assert len(cfg["image_size"]) == 2
+        assert len(cfg["heatmap_size"]) == 2
+
+        flip_pairs = np.array(self.config["flip_pairs"])
+        cfg["flip_pairs"] = flip_pairs
+        cfg["flip_index"] = flip_index_from_pairs(flip_pairs)
+        cfg["upper_body_ids"] = np.array(self.config["upper_body_ids"])
+        cfg["pixel_std"] = float(self.config["pixel_std"])
+        cfg["scale_padding"] = float(self.config["scale_padding"])
+        cfg["joint_weights"] = (
+            np.array(self.config["joint_weights"])
+            if "joint_weights" in self.config
+            else None
+        )
+        return cfg
+
+
+@register("transform", extra_name="topdown_box_to_center_scale")
+class TopDownBoxToCenterScale(TopDownTransform):
+    """xywh box -> (center, scale); random center jitter (p=0.3) on train."""
+
+    def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        center, scale = self._xywh2cs(*state["boxes"])
+        return dict(center=center, scale=scale)
+
+    def _xywh2cs(self, x, y, w, h) -> Tuple[np.ndarray, np.ndarray]:
+        image_size = self._transform_cfg["image_size"]
+        aspect_ratio = image_size[0] / image_size[1]
+        center = np.array([x + w * 0.5, y + h * 0.5], dtype=np.float32)
+
+        if self.is_train and np.random.rand() < 0.3:
+            center += np.random.uniform(-0.2, 0.2, size=2) * [w, h]
+
+        if w > aspect_ratio * h:
+            h = w * 1.0 / aspect_ratio
+        elif w < aspect_ratio * h:
+            w = h * aspect_ratio
+
+        pixel_std = self._transform_cfg["pixel_std"]
+        scale = np.array([w / pixel_std, h / pixel_std], dtype=np.float32)
+        scale = scale * self._transform_cfg["scale_padding"]
+        return center, scale
+
+
+@register("transform", extra_name="topdown_affine")
+class TopDownAffine(TopDownTransform):
+    """Crop/warp the instance to image_size; standard or UDP matrix."""
+
+    def __init__(
+        self,
+        is_train: bool = True,
+        config: Optional[Dict[str, Any]] = None,
+        use_udp: bool = False,
+    ) -> None:
+        super().__init__(is_train=is_train, config=config)
+        self.use_udp = use_udp
+
+    def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        image_size = self._transform_cfg["image_size"]
+        pixel_std = self._transform_cfg["pixel_std"]
+        rotation = state.get("rotation", 0.0)
+
+        if self.use_udp:
+            trans = get_warp_matrix(
+                rotation,
+                state["center"] * 2.0,
+                image_size - 1.0,
+                state["scale"] * pixel_std,
+            )
+        else:
+            trans = get_affine_transform(
+                state["center"],
+                state["scale"],
+                rotation,
+                image_size,
+                pixel_std=pixel_std,
+            )
+
+        out: Dict[str, Any] = dict()
+        out["image"] = cv2.warpAffine(
+            state["image"],
+            np.asarray(trans, dtype=np.float64),
+            (int(image_size[0]), int(image_size[1])),
+            flags=cv2.INTER_LINEAR,
+        )
+
+        if "keypoints" in state:
+            keypoints = state["keypoints"].copy()
+            if self.use_udp:
+                keypoints[:, 0:2] = warp_affine_joints(keypoints[:, 0:2], trans)
+            else:
+                for i in range(keypoints.shape[0]):
+                    if keypoints[i, 2] > 0.0:
+                        keypoints[i, 0:2] = affine_transform(keypoints[i, 0:2], trans)
+            out["keypoints"] = keypoints
+        return out
+
+
+@register("transform", extra_name="topdown_generate_target")
+class TopDownGenerateTarget(TopDownTransform):
+    """Rasterize per-joint Gaussian heatmaps (HWK layout) + target weights.
+
+    ``use_udp`` switches from round-to-pixel centers with a shared kernel to
+    the UDP unbiased sub-pixel-centered kernel (ref :377-430).
+    """
+
+    def __init__(
+        self,
+        is_train: bool = True,
+        config: Optional[Dict[str, Any]] = None,
+        sigma: float = 2.0,
+        use_different_joint_weights: bool = False,
+        use_udp: bool = False,
+    ) -> None:
+        super().__init__(is_train=is_train, config=config)
+        self.sigma = sigma
+        self.use_different_joint_weights = use_different_joint_weights
+        self.use_udp = use_udp
+        if use_different_joint_weights and self._transform_cfg["joint_weights"] is None:
+            raise ValueError(
+                "`joint_weights` must be provided if "
+                "`use_different_joint_weights` is True."
+            )
+
+    def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        image_size = self._transform_cfg["image_size"]
+        w, h = self._transform_cfg["heatmap_size"]
+        keypoints = state["keypoints"]
+        num_joints = keypoints.shape[0]
+
+        target_weight = np.zeros(num_joints, dtype=np.float32)
+        target = np.zeros((num_joints, h, w), dtype=np.float32)
+
+        tmp_size = self.sigma * 3
+        size = int(2 * tmp_size + 1)
+        x = np.arange(0, size, 1, np.float32)
+        y = x[:, None]
+        x0 = y0 = size // 2
+        if not self.use_udp:
+            g_shared = np.exp(-((x - x0) ** 2 + (y - y0) ** 2) / (2 * self.sigma**2))
+
+        for j in range(num_joints):
+            target_weight[j] = keypoints[j, 2]
+
+            if self.use_udp:
+                feat_stride = (image_size - 1.0) / (np.array([w, h]) - 1.0)
+                mu_x = int(keypoints[j][0] / feat_stride[0] + 0.5)
+                mu_y = int(keypoints[j][1] / feat_stride[1] + 0.5)
+            else:
+                feat_stride = image_size / np.array([w, h])
+                mu_x = round(keypoints[j][0] / feat_stride[0])
+                mu_y = round(keypoints[j][1] / feat_stride[1])
+
+            ul = [int(mu_x - tmp_size), int(mu_y - tmp_size)]
+            br = [int(mu_x + tmp_size + 1), int(mu_y + tmp_size + 1)]
+            if ul[0] >= w or ul[1] >= h or br[0] < 0 or br[1] < 0:
+                target_weight[j] = 0
+                continue
+
+            if target_weight[j] > 0.5:
+                if self.use_udp:
+                    mu_x_ac = keypoints[j][0] / feat_stride[0]
+                    mu_y_ac = keypoints[j][1] / feat_stride[1]
+                    x0_p = x0 + mu_x_ac - mu_x
+                    y0_p = y0 + mu_y_ac - mu_y
+                    g = np.exp(
+                        -((x - x0_p) ** 2 + (y - y0_p) ** 2) / (2 * self.sigma**2)
+                    )
+                else:
+                    g = g_shared
+
+                g_x = max(0, -ul[0]), min(br[0], w) - ul[0]
+                g_y = max(0, -ul[1]), min(br[1], h) - ul[1]
+                img_x = max(0, ul[0]), min(br[0], w)
+                img_y = max(0, ul[1]), min(br[1], h)
+                target[j][img_y[0] : img_y[1], img_x[0] : img_x[1]] = g[
+                    g_y[0] : g_y[1], g_x[0] : g_x[1]
+                ]
+
+        if self.use_different_joint_weights:
+            target_weight = target_weight * self._transform_cfg["joint_weights"]
+
+        # KHW -> HWK: targets feed NHWC device tensors
+        return dict(
+            target=np.ascontiguousarray(target.transpose(1, 2, 0)),
+            target_weight=target_weight,
+        )
+
+
+@register("transform", extra_name="topdown_horizontal_random_flip")
+class TopDownHorizontalRandomFlip(TopDownTransform):
+    def __init__(
+        self,
+        is_train: bool = True,
+        config: Optional[Dict[str, Any]] = None,
+        flip_prob: float = 0.5,
+    ) -> None:
+        super().__init__(is_train=is_train, config=config)
+        self.flip_prob = flip_prob
+
+    def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        image = state["image"]
+        keypoints = state["keypoints"]
+        center = state["center"]
+
+        if np.random.rand() <= self.flip_prob:
+            image = cv2.flip(image, 1)
+            keypoints = fliplr_joints(
+                keypoints, image.shape[1], flip_index=self._transform_cfg["flip_index"]
+            )
+            center = center.copy()
+            center[0] = image.shape[1] - center[0]
+        return dict(image=image, keypoints=keypoints, center=center)
+
+
+@register("transform", extra_name="topdown_halfbody_transform")
+class TopDownHalfBodyTransform(TopDownTransform):
+    """Randomly crop to upper/lower body when enough joints are visible."""
+
+    def __init__(
+        self,
+        is_train: bool = True,
+        config: Optional[Dict[str, Any]] = None,
+        num_joints_half_body: int = 8,
+        prob_half_body: float = 0.3,
+        scale_padding: float = 1.5,
+    ) -> None:
+        super().__init__(is_train=is_train, config=config)
+        self.num_joints_half_body = num_joints_half_body
+        self.prob_half_body = prob_half_body
+        self.scale_padding = scale_padding
+
+    def half_body_transform(self, keypoints: np.ndarray, num_joints: int = 17):
+        upper, lower = [], []
+        upper_ids = set(self._transform_cfg["upper_body_ids"].tolist())
+        for j in range(num_joints):
+            if keypoints[j][2] > 0:
+                (upper if j in upper_ids else lower).append(keypoints[j])
+
+        if np.random.randn() < 0.5 and len(upper) > 2:
+            selected = upper
+        elif len(lower) > 2:
+            selected = lower
+        else:
+            selected = upper
+        if len(selected) < 2:
+            return None, None
+
+        selected = np.array(selected, dtype=np.float32)
+        center = selected.mean(axis=0)[:2]
+        left_top = np.amin(selected, axis=0)
+        right_bottom = np.amax(selected, axis=0)
+        w = right_bottom[0] - left_top[0]
+        h = right_bottom[1] - left_top[1]
+
+        image_size = self._transform_cfg["image_size"]
+        aspect_ratio = image_size[0] / image_size[1]
+        if w > aspect_ratio * h:
+            h = w * 1.0 / aspect_ratio
+        elif w < aspect_ratio * h:
+            w = h * aspect_ratio
+
+        pixel_std = self._transform_cfg["pixel_std"]
+        scale = np.array([w / pixel_std, h / pixel_std], dtype=np.float32)
+        return center, scale * self.scale_padding
+
+    def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        keypoints = state["keypoints"]
+        if (
+            np.sum(keypoints[:, 2]) > self.num_joints_half_body
+            and np.random.rand() < self.prob_half_body
+        ):
+            center, scale = self.half_body_transform(
+                keypoints, num_joints=keypoints.shape[0]
+            )
+            if center is not None and scale is not None:
+                return dict(center=center, scale=scale)
+        return dict()
+
+
+@register("transform", extra_name="topdown_randomscale_rotation")
+class TopDownRandomScaleRotation(TopDownTransform):
+    def __init__(
+        self,
+        is_train: bool = True,
+        config: Optional[Dict[str, Any]] = None,
+        rot_factor: float = 40.0,
+        scale_factor: float = 0.5,
+        rot_prob: float = 0.6,
+    ) -> None:
+        super().__init__(is_train=is_train, config=config)
+        self.rot_factor = rot_factor
+        self.scale_factor = scale_factor
+        self.rot_prob = rot_prob
+
+    def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        s = state["scale"]
+        sf = self.scale_factor
+        rf = self.rot_factor
+
+        s_factor = np.clip(np.random.randn() * sf + 1, 1 - sf, 1 + sf)
+        s = s * np.float32(s_factor)
+        r_factor = np.clip(np.random.randn() * rf, -rf * 2, rf * 2)
+        r = np.float32(r_factor) if np.random.rand() <= self.rot_prob else np.float32(0.0)
+        return dict(scale=s, rotation=r)

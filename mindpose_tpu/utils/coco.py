@@ -1,0 +1,246 @@
+"""Minimal COCO annotation container + RLE mask codec (pycocotools-free).
+
+The reference depends on pycocotools (C/Cython) for annotation indexing, RLE
+segmentation decode and the OKS AP metric
+(/root/reference/mindpose/data/dataset/coco_topdown.py:68,
+coco_bottomup.py:159-168, engine/evaluator/evaluator.py:145-150). pycocotools
+is not available in this environment, so this module reimplements the needed
+surface in numpy + cv2 (polygon rasterization), with the same public method
+names (getImgIds/getAnnIds/loadImgs/loadAnns/getCatIds/loadCats/loadRes).
+
+The OKS AP metric lives in mindpose_tpu.utils.cocoeval.
+"""
+import copy
+import json
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Union
+
+import numpy as np
+
+__all__ = ["COCO", "decode_rle", "poly_to_mask", "annotation_to_mask"]
+
+
+def decode_rle(rle: Dict[str, Any]) -> np.ndarray:
+    """Decode an RLE dict {'counts': ..., 'size': [h, w]} into an HxW uint8 mask.
+
+    Supports uncompressed counts (list of run lengths, column-major starting
+    with background) and the compressed LEB128-style string format used by the
+    COCO API.
+    """
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, (bytes, str)):
+        counts = _decode_compressed_counts(
+            counts.encode("ascii") if isinstance(counts, str) else counts
+        )
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total != h * w:
+        raise ValueError(f"RLE counts sum {total} != h*w {h * w}")
+    # runs alternate 0-run, 1-run, ... in column-major (Fortran) order
+    vals = np.zeros(len(counts), dtype=np.uint8)
+    vals[1::2] = 1
+    mask = np.repeat(vals, counts)
+    return mask.reshape((w, h)).T  # column-major -> HxW
+
+
+def _decode_compressed_counts(s: bytes) -> List[int]:
+    """COCO API compressed RLE: 6-bit varint with delta coding for runs > 2."""
+    counts: List[int] = []
+    i = 0
+    n = len(s)
+    while i < n:
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = s[i] - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def _encode_counts(counts: List[int]) -> bytes:
+    """Inverse of _decode_compressed_counts (for writing result files)."""
+    out = bytearray()
+    for j, x in enumerate(counts):
+        if j > 2:
+            x -= counts[j - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            out.append(c + 48)
+    return bytes(out)
+
+
+def poly_to_mask(polys: List[List[float]], height: int, width: int) -> np.ndarray:
+    """Rasterize COCO polygon segmentation(s) into an HxW uint8 mask."""
+    import cv2
+
+    mask = np.zeros((height, width), dtype=np.uint8)
+    pts = [
+        np.asarray(p, dtype=np.float64).reshape(-1, 2).round().astype(np.int32)
+        for p in polys
+        if len(p) >= 6
+    ]
+    if pts:
+        cv2.fillPoly(mask, pts, 1)
+    return mask
+
+
+def annotation_to_mask(
+    segmentation: Union[List, Dict[str, Any]], height: int, width: int
+) -> np.ndarray:
+    """Segmentation (polygon list or RLE dict) -> HxW uint8 mask."""
+    if isinstance(segmentation, dict):
+        return decode_rle(segmentation)
+    return poly_to_mask(segmentation, height, width)
+
+
+class COCO:
+    """Indexed view over a COCO-format annotation file (or dict)."""
+
+    def __init__(self, annotation_file: Optional[Union[str, Dict]] = None) -> None:
+        self.dataset: Dict[str, Any] = {}
+        self.anns: Dict[int, Dict] = {}
+        self.imgs: Dict[int, Dict] = {}
+        self.cats: Dict[int, Dict] = {}
+        self.imgToAnns: Dict[int, List[Dict]] = defaultdict(list)
+        self.catToImgs: Dict[int, List[int]] = defaultdict(list)
+
+        if annotation_file is not None:
+            if isinstance(annotation_file, str):
+                with open(annotation_file, "r") as f:
+                    dataset = json.load(f)
+            else:
+                dataset = annotation_file
+            assert isinstance(dataset, dict), "annotation file format not supported"
+            self.dataset = dataset
+            self.createIndex()
+
+    def createIndex(self) -> None:
+        anns, cats, imgs = {}, {}, {}
+        img_to_anns = defaultdict(list)
+        cat_to_imgs = defaultdict(list)
+        for ann in self.dataset.get("annotations", []):
+            img_to_anns[ann["image_id"]].append(ann)
+            anns[ann["id"]] = ann
+        for img in self.dataset.get("images", []):
+            imgs[img["id"]] = img
+        for cat in self.dataset.get("categories", []):
+            cats[cat["id"]] = cat
+        for ann in self.dataset.get("annotations", []):
+            if "category_id" in ann:
+                cat_to_imgs[ann["category_id"]].append(ann["image_id"])
+        self.anns = anns
+        self.imgs = imgs
+        self.cats = cats
+        self.imgToAnns = img_to_anns
+        self.catToImgs = cat_to_imgs
+
+    # ---- query API (pycocotools-compatible surface) ----
+
+    def getImgIds(self, imgIds=None, catIds=None) -> List[int]:
+        imgIds = _as_list(imgIds)
+        catIds = _as_list(catIds)
+        if not imgIds and not catIds:
+            return list(self.imgs.keys())
+        ids = set(imgIds) if imgIds else None
+        for cat_id in catIds:
+            cat_imgs = set(self.catToImgs[cat_id])
+            ids = cat_imgs if ids is None else ids & cat_imgs
+        return list(ids or [])
+
+    def getAnnIds(self, imgIds=None, catIds=None, areaRng=None, iscrowd=None):
+        imgIds = _as_list(imgIds)
+        catIds = _as_list(catIds)
+        if imgIds:
+            anns = [a for img_id in imgIds for a in self.imgToAnns[img_id]]
+        else:
+            anns = list(self.anns.values())
+        if catIds:
+            cat_set = set(catIds)
+            anns = [a for a in anns if a["category_id"] in cat_set]
+        if areaRng:
+            anns = [a for a in anns if areaRng[0] < a["area"] < areaRng[1]]
+        if iscrowd is not None:
+            anns = [a for a in anns if a.get("iscrowd", 0) == int(iscrowd)]
+        return [a["id"] for a in anns]
+
+    def getCatIds(self, catNms=None, supNms=None, catIds=None) -> List[int]:
+        catNms, supNms, catIds = _as_list(catNms), _as_list(supNms), _as_list(catIds)
+        cats = list(self.cats.values())
+        if catNms:
+            cats = [c for c in cats if c["name"] in catNms]
+        if supNms:
+            cats = [c for c in cats if c.get("supercategory") in supNms]
+        if catIds:
+            cats = [c for c in cats if c["id"] in catIds]
+        return [c["id"] for c in cats]
+
+    def loadAnns(self, ids=None) -> List[Dict]:
+        return [self.anns[i] for i in _as_list(ids)]
+
+    def loadImgs(self, ids=None) -> List[Dict]:
+        return [self.imgs[i] for i in _as_list(ids)]
+
+    def loadCats(self, ids=None) -> List[Dict]:
+        return [self.cats[i] for i in _as_list(ids)]
+
+    def annToMask(self, ann: Dict) -> np.ndarray:
+        img = self.imgs[ann["image_id"]]
+        return annotation_to_mask(ann["segmentation"], img["height"], img["width"])
+
+    def loadRes(self, resFile: Union[str, List[Dict]]) -> "COCO":
+        """Build a result COCO from a keypoint-result json (list of dicts).
+
+        Mirrors pycocotools.COCO.loadRes for the keypoints task: bbox/area are
+        derived from the keypoint extent.
+        """
+        res = COCO()
+        res.dataset["images"] = [img for img in self.dataset.get("images", [])]
+        if isinstance(resFile, str):
+            with open(resFile, "r") as f:
+                anns = json.load(f)
+        else:
+            anns = copy.deepcopy(resFile)
+        assert isinstance(anns, list), "results must be a list"
+        if anns:
+            anns_img_ids = set(a["image_id"] for a in anns)
+            assert anns_img_ids <= set(self.getImgIds()), (
+                "Results reference unknown image ids"
+            )
+        for ann_id, ann in enumerate(anns):
+            if "keypoints" in ann:
+                s = ann["keypoints"]
+                x = s[0::3]
+                y = s[1::3]
+                x0, x1 = min(x), max(x)
+                y0, y1 = min(y), max(y)
+                ann["area"] = (x1 - x0) * (y1 - y0)
+                ann.setdefault("bbox", [x0, y0, x1 - x0, y1 - y0])
+            ann["id"] = ann_id + 1
+            ann.setdefault("iscrowd", 0)
+        res.dataset["categories"] = copy.deepcopy(self.dataset.get("categories", []))
+        res.dataset["annotations"] = anns
+        res.createIndex()
+        return res
+
+
+def _as_list(x) -> List:
+    if x is None:
+        return []
+    if isinstance(x, (list, tuple, np.ndarray)):
+        return list(x)
+    return [x]

@@ -1,0 +1,90 @@
+"""Synthetic tiny-COCO fixtures shared by tests and verification drives."""
+import json
+import os
+
+import cv2
+import numpy as np
+
+# COCO person keypoint category skeleton (17 joints)
+PERSON_CATEGORY = {
+    "id": 1,
+    "name": "person",
+    "supercategory": "person",
+    "keypoints": [
+        "nose", "left_eye", "right_eye", "left_ear", "right_ear",
+        "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
+        "left_wrist", "right_wrist", "left_hip", "right_hip",
+        "left_knee", "right_knee", "left_ankle", "right_ankle",
+    ],
+    "skeleton": [],
+}
+
+DATASET_SETTING = {
+    "image_size": [192, 256],
+    "heatmap_size": [48, 64],
+    "pixel_std": 200.0,
+    "scale_padding": 1.25,
+    "det_bbox_thr": 0.0,
+    "flip_pairs": [[1, 2], [3, 4], [5, 6], [7, 8], [9, 10], [11, 12], [13, 14], [15, 16]],
+    "upper_body_ids": [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+}
+
+
+def make_tiny_coco(
+    root: str, num_images: int = 4, people_per_img: int = 2, seed: int = 0
+):
+    """Write a synthetic COCO keypoint dataset (images + annotation json).
+
+    Each person is a bright rectangle with deterministic keypoints inside.
+    Returns (image_root, annotation_path).
+    """
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, num_images + 1):
+        h, w = 240, 320
+        img = rng.randint(0, 60, size=(h, w, 3), dtype=np.uint8)
+        for p in range(people_per_img):
+            x0 = 20 + p * 150
+            y0 = 30 + 10 * p
+            bw, bh = 100, 180
+            cv2.rectangle(img, (x0, y0), (x0 + bw, y0 + bh), (200, 160, 120), -1)
+            kpts = []
+            num_vis = 0
+            for k in range(17):
+                kx = x0 + 10 + (k % 4) * 25
+                ky = y0 + 10 + (k // 4) * 38
+                kpts.extend([float(kx), float(ky), 2])
+                num_vis += 1
+            annotations.append(
+                {
+                    "id": ann_id,
+                    "image_id": img_id,
+                    "category_id": 1,
+                    "bbox": [float(x0), float(y0), float(bw), float(bh)],
+                    "area": float(bw * bh),
+                    "iscrowd": 0,
+                    "keypoints": kpts,
+                    "num_keypoints": num_vis,
+                    "segmentation": [
+                        [x0, y0, x0 + bw, y0, x0 + bw, y0 + bh, x0, y0 + bh]
+                    ],
+                }
+            )
+            ann_id += 1
+        fname = f"{img_id:012d}.jpg"
+        cv2.imwrite(os.path.join(img_dir, fname), img)
+        images.append({"id": img_id, "file_name": fname, "height": h, "width": w})
+
+    ann = {
+        "images": images,
+        "annotations": annotations,
+        "categories": [PERSON_CATEGORY],
+    }
+    ann_path = os.path.join(root, "annotations.json")
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+    return img_dir, ann_path
