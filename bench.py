@@ -1,0 +1,128 @@
+"""Benchmark: HRNet-W32 256x192 training throughput + decode latency on TPU.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+The reference publishes no throughput numbers (BASELINE.md); vs_baseline
+compares against the `published` train-throughput entry in BASELINE.json when
+present, else 1.0 (this run becomes the baseline).
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench_train_step(batch_per_chip: int = 128, iters: int = 20) -> dict:
+    import mindpose_tpu as mp
+    from mindpose_tpu.optim import create_optimizer
+    from mindpose_tpu.parallel import (
+        build_train_step,
+        create_mesh,
+        create_train_state,
+        shard_batch,
+    )
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    mesh = create_mesh() if n_dev > 1 else None
+    batch = batch_per_chip * n_dev
+
+    net = mp.create_network("hrnet_w32", "hrnet_head", dtype=jnp.bfloat16)
+    loss = mp.create_loss("joint_mse", use_target_weight=True)
+    nwl = mp.create_network_with_loss(net, loss, has_extra_inputs=True)
+
+    image = jnp.zeros((1, 256, 192, 3), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), image, train=False)
+    tx = create_optimizer(variables["params"], "adamw", learning_rate=1e-3,
+                          weight_decay=0.05)
+    state = create_train_state(variables, tx)
+    step_fn = build_train_step(nwl, tx, mesh=mesh)
+
+    rng = np.random.RandomState(0)
+    arrays = shard_batch(
+        [
+            rng.rand(batch, 256, 192, 3).astype(np.float32),
+            rng.rand(batch, 64, 48, 17).astype(np.float32),
+            np.ones((batch, 17), np.float32),
+        ],
+        mesh,
+    )
+
+    # warmup / compile. NOTE: value fetches (np.asarray) are the only
+    # reliable barrier over the axon TPU tunnel — block_until_ready returns
+    # early there; the loss of step N transitively depends on every previous
+    # step's update, so fetching it times the whole chain.
+    for _ in range(3):
+        state, lv = step_fn(state, *arrays)
+    _ = np.asarray(lv)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, lv = step_fn(state, *arrays)
+    _ = np.asarray(lv)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * iters / dt
+    return {
+        "train_images_per_sec": images_per_sec,
+        "train_images_per_sec_per_chip": images_per_sec / n_dev,
+        "step_time_ms": dt / iters * 1000,
+        "batch_per_chip": batch_per_chip,
+        "n_devices": n_dev,
+    }
+
+
+def bench_decode(batch: int = 128, iters: int = 50) -> dict:
+    import mindpose_tpu as mp
+
+    decoder = mp.create_decoder("topdown_heatmap", shift_coordinate=True)
+    rng = np.random.RandomState(0)
+    hm = jnp.asarray(rng.rand(batch, 64, 48, 17).astype(np.float32))
+    center = jnp.full((batch, 2), 100.0)
+    scale = jnp.ones((batch, 2))
+    score = jnp.ones((batch,))
+
+    fn = jax.jit(decoder.__call__)
+    out = fn(hm, center, scale, score)
+    _ = np.asarray(out[0])
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(hm, center, scale, score)
+        _ = np.asarray(out[0])  # value fetch = true barrier over axon
+        times.append(time.perf_counter() - t0)
+    return {"decode_p50_ms": float(np.median(times) * 1000), "decode_batch": batch}
+
+
+def main() -> None:
+    train_stats = bench_train_step()
+    decode_stats = bench_decode()
+
+    baseline = None
+    if os.path.exists("BASELINE.json"):
+        with open("BASELINE.json") as f:
+            published = json.load(f).get("published", {})
+        baseline = published.get("train_images_per_sec_per_chip")
+
+    value = train_stats["train_images_per_sec_per_chip"]
+    vs_baseline = value / baseline if baseline else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "hrnet_w32_256x192_train_throughput",
+                "value": round(value, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(vs_baseline, 3),
+                "extra": {**train_stats, **decode_stats},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

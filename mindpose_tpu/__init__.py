@@ -7,7 +7,9 @@ meshes and on-device encode/decode.
 """
 from .version import __version__
 
-from . import models  # noqa: F401  (populates the registry)
+from . import callbacks, data, engine, models, optim, parallel, scheduler, utils  # noqa: F401
+from .data import create_dataset, create_pipeline  # noqa: F401
+from .engine import create_evaluator, create_inferencer  # noqa: F401
 from .models import (  # noqa: F401
     create_backbone,
     create_decoder,
@@ -18,4 +20,6 @@ from .models import (  # noqa: F401
     create_network,
     create_network_with_loss,
 )
+from .optim import create_optimizer  # noqa: F401
 from .register import entrypoint, list_components, list_modules, register  # noqa: F401
+from .scheduler import create_lr_scheduler  # noqa: F401

@@ -1,0 +1,105 @@
+"""Evaluator base: COCO GT loading, result writing, OKS AP metric.
+
+Parity: /root/reference/mindpose/engine/evaluator/evaluator.py:9-180, backed
+by the in-repo pycocotools-free COCO + COCOeval.
+"""
+import json
+from typing import Any, Dict, List, Optional, Set, Tuple, Union
+
+import numpy as np
+
+from ...utils.coco import COCO
+from ...utils.cocoeval import COCOeval
+
+
+class Evaluator:
+    SUPPORT_METRICS: Set[str] = set()
+
+    def __init__(
+        self,
+        annotation_file: str,
+        metric: Union[str, List[str]] = "AP",
+        num_joints: int = 17,
+        config: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        self.annotation_file = annotation_file
+        self.num_joints = num_joints
+        self.config = config if config else dict()
+        self._metrics = set(metric) if isinstance(metric, list) else {metric}
+        for single in self._metrics:
+            if single not in self.SUPPORT_METRICS:
+                raise KeyError(f"metric {single} is not supported")
+
+        self._evaluation_cfg = self.load_evaluation_cfg()
+
+        self.coco = COCO(annotation_file)
+        self.id2name, self.name2id = self._get_mapping_id_name(self.coco.imgs)
+
+        cat_ids = self.coco.getCatIds()
+        cats = [cat["name"] for cat in self.coco.loadCats(cat_ids)]
+        self.classes = ["__background__"] + cats
+        self._class_to_coco_ind = dict(zip(cats, cat_ids))
+
+    @property
+    def metrics(self) -> Set[str]:
+        return self._metrics
+
+    def load_evaluation_cfg(self) -> Dict[str, Any]:
+        raise NotImplementedError("Child class must implement this method.")
+
+    def eval(self, inference_result: List[Dict[str, Any]]) -> Dict[str, Any]:
+        raise NotImplementedError("Child class must implement this method.")
+
+    def __call__(self, inference_result: List[Dict[str, Any]]) -> Dict[str, Any]:
+        return self.eval(inference_result)
+
+    def _write_coco_keypoint_results(self, keypoints, res_file: str) -> None:
+        cat_id = self._class_to_coco_ind[self.classes[1]]
+        results = []
+        for img_kpts in keypoints:
+            if not img_kpts:
+                continue
+            kp_arr = np.array(
+                [np.asarray(k["keypoints"], np.float64) for k in img_kpts]
+            ).reshape(len(img_kpts), -1)[:, : self.num_joints * 3]
+            for img_kpt, kp in zip(img_kpts, kp_arr):
+                results.append(
+                    {
+                        "image_id": int(img_kpt["image_id"]),
+                        "category_id": cat_id,
+                        "keypoints": kp.tolist(),
+                        "score": float(img_kpt["score"]),
+                        "center": np.asarray(img_kpt.get("center", -1)).tolist(),
+                        "scale": np.asarray(img_kpt.get("scale", -1)).tolist(),
+                    }
+                )
+        with open(res_file, "w") as f:
+            json.dump(results, f, sort_keys=True, indent=4)
+
+    def _do_python_keypoint_eval(self, res_file: str) -> List[Tuple[str, float]]:
+        """OKS AP via the in-repo COCOeval (ref evaluator.py:141-167)."""
+        coco_det = self.coco.loadRes(res_file)
+        coco_eval = COCOeval(self.coco, coco_det, "keypoints")
+        sigmas = self._evaluation_cfg.get("sigmas")
+        if sigmas is not None:
+            coco_eval.params.kpt_oks_sigmas = np.asarray(sigmas)
+        coco_eval.evaluate()
+        coco_eval.accumulate()
+        coco_eval.summarize()
+
+        stats_names = [
+            "AP", "AP .5", "AP .75", "AP (M)", "AP (L)",
+            "AR", "AR .5", "AR .75", "AR (M)", "AR (L)",
+        ]
+        return list(zip(stats_names, coco_eval.stats))
+
+    @staticmethod
+    def _get_mapping_id_name(
+        imgs: Dict[int, Dict],
+    ) -> Tuple[Dict[int, str], Dict[str, int]]:
+        id2name = {}
+        name2id = {}
+        for image_id, image in imgs.items():
+            id2name[image_id] = image["file_name"]
+            name2id[image["file_name"]] = image_id
+        return id2name, name2id

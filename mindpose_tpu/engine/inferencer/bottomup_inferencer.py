@@ -1,0 +1,182 @@
+"""Bottom-up AE inferencer: device decode -> host tag grouping.
+
+Parity: /root/reference/mindpose/engine/inferencer/bottomup_inferencer.py:19-297.
+The forward + multi-resolution decode (+TTA heatmap averaging with both tag
+sets kept) is one jitted function; ``match_by_tag`` grouping, optional
+missing-joint refinement and coordinate rescaling run on host per image.
+"""
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...data.transform.utils import transform_keypoints
+from ...register import register
+from ...utils.match import match_by_tag
+from .inferencer import Inferencer
+
+
+@register("inferencer", extra_name="bottomup_heatmap_ae")
+class BottomUpHeatMapAEInferencer(Inferencer):
+    def __init__(self, net, variables=None, config=None, progress_bar=False,
+                 decoder=None):
+        super().__init__(net, variables=variables, config=config)
+        self.progress_bar = progress_bar
+        self.decoder = decoder if decoder is not None else net.decoder
+        if self._inference_cfg["hflip_tta"] and not self._inference_cfg[
+            "has_heatmap_output"
+        ]:
+            raise ValueError("flip TTA needs heatmap output.")
+        self._jit_forward = None
+
+    def load_inference_cfg(self) -> Dict[str, Any]:
+        cfg = dict()
+        cfg["has_heatmap_output"] = self.config["has_heatmap_output"]
+        cfg["hflip_tta"] = self.config["hflip_tta"]
+        cfg["joint_order"] = self.config["joint_order"]
+        cfg["vis_thr"] = float(self.config["vis_thr"])
+        cfg["ignore_too_much"] = self.config["ignore_too_much"]
+        cfg["use_rounded_norm"] = self.config["use_rounded_norm"]
+        cfg["tag_thr"] = float(self.config["tag_thr"])
+        cfg["pixel_std"] = float(self.config["pixel_std"])
+        cfg["downsample_scale"] = self.config["downsample_scale"]
+        cfg["refine_missing_joint"] = self.config["refine_missing_joint"]
+        flip_index = np.array(self.config["flip_pairs"])[:, ::-1].flatten()
+        cfg["flip_index"] = np.insert(flip_index, 0, 0)
+        return cfg
+
+    def _build_forward(self):
+        flip_index = jnp.asarray(self._inference_cfg["flip_index"])
+        hflip = self._inference_cfg["hflip_tta"]
+        net = self.net
+        decoder = self.decoder
+
+        def forward(variables, image, mask):
+            if not hflip:
+                out = net.apply(variables, image, mask)
+                return out[0] if net.output_raw else out
+
+            raw = net.net.apply(variables, image, train=False)
+            flipped_raw = net.net.apply(variables, image[:, :, ::-1, :], train=False)
+
+            heatmaps, tags = decoder.decouple_output(raw)
+            f_heatmaps, f_tags = decoder.decouple_output(flipped_raw)
+            # flip back width + joint channels (NHWC: channels last)
+            f_heatmaps = [h[:, :, ::-1, :][..., flip_index] for h in f_heatmaps]
+            f_tags = [t[:, :, ::-1, :][..., flip_index] for t in f_tags]
+
+            final_heatmaps = [
+                (h + f) * 0.5 for h, f in zip(heatmaps, f_heatmaps)
+            ]
+            final_tags = list(tags) + list(f_tags)  # keep both tag sets (L=2)
+            return decoder.decode(final_heatmaps, final_tags, mask)
+
+        return jax.jit(forward)
+
+    def infer(self, dataset) -> List[Dict[str, Any]]:
+        if self._jit_forward is None:
+            self._jit_forward = self._build_forward()
+
+        outputs: List[Dict[str, Any]] = []
+        for batch in dataset:
+            val_k, tag_k, ind_k, heatmap, tagging_heatmap = self._jit_forward(
+                self.variables,
+                jnp.asarray(batch["image"]),
+                jnp.asarray(batch["mask"]),
+            )
+            preds, scores = self._parse(val_k, tag_k, ind_k, heatmap, tagging_heatmap)
+
+            center = np.asarray(batch["center"], np.float32)
+            scale = np.asarray(batch["scale"], np.float32)
+            image_shape = np.asarray(batch["image_shape"], np.float32)
+
+            preds = transform_keypoints(
+                preds,
+                center,
+                scale,
+                image_shape / self._inference_cfg["downsample_scale"],
+                pixel_std=self._inference_cfg["pixel_std"],
+            )
+            for pred, score, image_path in zip(preds, scores, batch["image_file"]):
+                outputs.append(
+                    dict(pred=pred, score=score, image_path=str(image_path))
+                )
+        return outputs
+
+    def _parse(self, val_k, tag_k, ind_k, heatmap, tagging_heatmap):
+        """Host post-processing: group by tag, score, optionally refine."""
+        keypoints = [
+            match_by_tag(
+                v, t, i,
+                joint_order=self._inference_cfg["joint_order"],
+                vis_thr=self._inference_cfg["vis_thr"],
+                tag_thr=self._inference_cfg["tag_thr"],
+                ignore_too_much=self._inference_cfg["ignore_too_much"],
+                use_rounded_norm=self._inference_cfg["use_rounded_norm"],
+            )
+            for v, t, i in zip(
+                np.asarray(val_k), np.asarray(tag_k), np.asarray(ind_k)
+            )
+        ]
+
+        scores = [[y[:, 2].mean() for y in x] for x in keypoints]
+
+        if self._inference_cfg["refine_missing_joint"]:
+            heatmap = np.asarray(heatmap)          # [N, H, W, K]
+            tagging_heatmap = np.asarray(tagging_heatmap)  # [N, H, W, K, L]
+            for i in range(len(keypoints)):
+                for j in range(len(keypoints[i])):
+                    keypoints[i][j] = self._refine_missing(
+                        heatmap[i], tagging_heatmap[i], keypoints[i][j]
+                    )
+        return keypoints, scores
+
+    def _refine_missing(
+        self, heatmap: np.ndarray, tagging_heatmap: np.ndarray, keypoints: np.ndarray
+    ) -> np.ndarray:
+        """Fill undetected joints by tag-distance-penalized argmax
+        (ref :189-249; NHWC layout here).
+
+        heatmap: [H, W, K]; tagging_heatmap: [H, W, K, L]; keypoints: [K, 3+L].
+        """
+        h, w, k = heatmap.shape
+
+        tags = []
+        location = keypoints[:, :2].astype(np.int32)
+        for i in range(k):
+            if keypoints[i, 2] > 0:
+                x, y = location[i]
+                tags.append(tagging_heatmap[y, x, i])
+        if not tags:
+            return keypoints
+        mean_tag = np.mean(tags, axis=0)
+
+        dist = np.linalg.norm(tagging_heatmap - mean_tag[None, None, None, :], axis=3)
+        dist = np.round(dist)  # [H, W, K]
+
+        score = heatmap - dist
+        flat = score.transpose(2, 0, 1).reshape(k, -1)
+        max_loc = np.argmax(flat, axis=1)
+        ys, xs = np.unravel_index(max_loc, (h, w))
+        ys_int, xs_int = ys.copy(), xs.copy()
+        xs = xs.astype(np.float32) + 0.5
+        ys = ys.astype(np.float32) + 0.5
+
+        for i in range(k):
+            xx, yy = xs_int[i], ys_int[i]
+            if heatmap[yy, min(xx + 1, w - 1), i] > heatmap[yy, max(xx - 1, 0), i]:
+                xs[i] += 0.25
+            else:
+                xs[i] -= 0.25
+            if heatmap[min(yy + 1, h - 1), xx, i] > heatmap[max(0, yy - 1), xx, i]:
+                ys[i] += 0.25
+            else:
+                ys[i] -= 0.25
+
+        vals = heatmap[ys_int, xs_int, np.arange(k)]
+        full = np.stack((xs, ys, vals), axis=1)
+        for i in range(k):
+            if full[i, 2] > 0 and keypoints[i, 2] == 0:
+                keypoints[i, :3] = full[i]
+        return keypoints

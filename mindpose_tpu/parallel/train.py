@@ -1,0 +1,126 @@
+"""The jitted, mesh-sharded train step.
+
+TPU-native replacement for ``ms.Model.train(dataset_sink_mode=True)`` +
+``parallel_mode="data_parallel", gradients_mean=True``
+(/root/reference/tools/train.py:176-233): one ``shard_map`` over the mesh's
+data axis runs the local forward/backward, then ``pmean``s gradients, loss
+and BatchNorm statistics. BatchNorm normalizes with *local-shard* statistics
+(matching the reference's non-sync BN training dynamics and avoiding a
+collective per BN layer); only the running stats are averaged so replicas
+stay bitwise consistent.
+
+Multi-component losses (AE: [push, pull] / [mse, push, pull]) are summed for
+the backward pass and returned per-component for logging, mirroring
+MindSpore's all-ones sens gradient semantics.
+"""
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.networks import NetWithLoss
+from .mesh import DATA_AXIS
+
+__all__ = ["TrainState", "create_train_state", "build_train_step", "shard_batch"]
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(
+    variables, tx: optax.GradientTransformation
+) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+
+
+def build_train_step(
+    net_with_loss: NetWithLoss,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable:
+    """Returns ``train_step(state, *batch_arrays) -> (state, loss_vector)``.
+
+    ``batch_arrays`` are the final data columns in order (data, label,
+    *extra). With a mesh, the batch dim is sharded over the data axis and
+    params/state are replicated; without one, it's a plain single-device jit.
+    """
+
+    def local_step(state: TrainState, *batch):
+        def loss_fn(params):
+            loss, new_stats = net_with_loss.apply(
+                {"params": params, "batch_stats": state.batch_stats}, *batch
+            )
+            scalar = jnp.sum(loss)
+            return scalar, (jnp.atleast_1d(loss), new_stats)
+
+        (_, (loss_vec, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss_vec = jax.lax.pmean(loss_vec, DATA_AXIS)
+            new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, loss_vec
+
+    if mesh is None:
+        return jax.jit(local_step, donate_argnums=(0,) if donate else ())
+
+    from jax.experimental.shard_map import shard_map
+
+    replicated = P()
+    sharded = P(DATA_AXIS)
+
+    def sharded_step(state, *batch):
+        fn = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(replicated,) + (sharded,) * len(batch),
+            out_specs=(replicated, replicated),
+            check_rep=False,
+        )
+        return fn(state, *batch)
+
+    return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
+
+
+def shard_batch(batch_arrays: Sequence[Any], mesh: Optional[Mesh]):
+    """Host arrays -> batch-dim-sharded global device arrays.
+
+    Single-host: a sharded device_put. Multi-host: each process contributes
+    its local shard of the global batch (the loader already shards records by
+    process), assembled with make_array_from_process_local_data.
+    """
+    if mesh is None:
+        return [jax.device_put(x) for x in batch_arrays]
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        return [
+            jax.make_array_from_process_local_data(sharding, x)
+            for x in batch_arrays
+        ]
+    return [jax.device_put(x, sharding) for x in batch_arrays]

@@ -1,0 +1,94 @@
+"""Checkpoint save/restore for train state and pretrained backbones.
+
+TPU-native counterpart of MindSpore save_checkpoint/load_checkpoint usage
+(/root/reference/mindpose/callbacks/eval_callback.py:189,201 and
+tools/train.py:163-167, models/backbones/utils.py:10-42): the full pytree
+(params + batch_stats + opt_state + step) is serialized with flax msgpack;
+backbone-pretrained loading is non-strict subtree copy by matching names.
+"""
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import jax
+from flax import serialization
+
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "restore_train_state",
+    "load_pretrained_backbone",
+]
+
+
+def save_checkpoint(path: str, state: Any) -> None:
+    """Serialize a pytree (e.g. TrainState) to ``path`` atomically."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    state = jax.device_get(state)
+    data = serialization.to_bytes(state)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, target: Any) -> Any:
+    """Restore a pytree with the structure of ``target`` from ``path``."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(target, data)
+
+
+def restore_train_state(path: str, state: Any) -> Any:
+    """Resume net + optimizer state from one checkpoint (ref train.py:163-167)."""
+    logging.info("Resuming train state from %s", path)
+    return load_checkpoint(path, state)
+
+
+def load_pretrained_backbone(
+    path: str, variables: Dict[str, Any], backbone_key: str = "backbone"
+) -> Dict[str, Any]:
+    """Non-strict load of backbone params/stats from a full-net checkpoint.
+
+    Accepts either a serialized TrainState-like dict or a raw variables dict;
+    copies the ``backbone`` subtree where array shapes match, leaving the
+    rest untouched (parity with the reference's non-strict load,
+    models/backbones/utils.py:37-42).
+    """
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+
+    source = raw.get("params", raw)
+    if backbone_key in source:
+        src_backbone = source[backbone_key]
+    else:
+        src_backbone = source
+
+    def merge(dst, src):
+        out = {}
+        n_loaded = 0
+        for k, v in dst.items():
+            if isinstance(v, dict):
+                if isinstance(src.get(k), dict):
+                    merged, n = merge(v, src[k])
+                    out[k] = merged
+                    n_loaded += n
+                else:
+                    out[k] = v
+            else:
+                s = src.get(k)
+                if s is not None and getattr(s, "shape", None) == v.shape:
+                    out[k] = s
+                    n_loaded += 1
+                else:
+                    out[k] = v
+        return out, n_loaded
+
+    new_vars = dict(variables)
+    params = dict(new_vars["params"])
+    if backbone_key in params:
+        merged, n = merge(params[backbone_key], src_backbone)
+        params[backbone_key] = merged
+        logging.info("Loaded %d pretrained backbone tensors from %s", n, path)
+    new_vars["params"] = params
+    return new_vars

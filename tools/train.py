@@ -1,0 +1,243 @@
+"""Training CLI: config-driven end-to-end training on TPU.
+
+TPU-native re-assembly of the reference trainer (/root/reference/tools/train.py:36-233):
+the MindSpore ``Model.train(sink_mode)`` + mpirun/HCCL stack is replaced by a
+jitted shard_map train step over a jax.sharding.Mesh, with per-process data
+sharding in the loader and rank-0-gated eval/checkpointing.
+
+Usage:
+    python tools/train.py --config configs/hrnet/hrnet_w32_ascend.yaml \
+        [--cfg-options num_epochs=1 batch_size=32 ...]
+"""
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mindpose_tpu.callbacks import EvalCallback
+from mindpose_tpu.config import parse_args
+from mindpose_tpu.data import FINAL_COLUMN_MAP, create_dataset, create_pipeline
+from mindpose_tpu.engine import create_evaluator, create_inferencer
+from mindpose_tpu.models import (
+    create_decoder,
+    create_eval_network,
+    create_loss,
+    create_network,
+    create_network_with_loss,
+)
+from mindpose_tpu.optim import create_optimizer
+from mindpose_tpu.parallel import (
+    build_train_step,
+    create_mesh,
+    create_train_state,
+    shard_batch,
+)
+from mindpose_tpu.scheduler import create_lr_scheduler
+from mindpose_tpu.utils import StepTimer, load_pretrained_backbone, restore_train_state
+from common.log import setup_default_logging
+
+
+def train(args) -> None:
+    # ---- runtime / distributed context (ref train.py:38-55) ----
+    devices = jax.devices()
+    process_count = jax.process_count()
+    rank_id = jax.process_index()
+    use_mesh = getattr(args, "distribute", False) or len(devices) > 1
+    mesh = create_mesh() if use_mesh else None
+    n_local = jax.local_device_count() if use_mesh else 1
+    logging.info(
+        "devices: %d (%s), processes: %d, rank: %d, mesh: %s",
+        len(devices), devices[0].platform, process_count, rank_id,
+        mesh.shape if mesh else None,
+    )
+
+    amp = getattr(args, "amp_level", "O0")
+    dtype = jnp.bfloat16 if amp not in ("O0", None) else jnp.float32
+
+    # per-device batch (config semantics) -> per-process batch for the loader
+    per_process_batch = args.batch_size * n_local
+
+    # ---- data (ref train.py:58-106) ----
+    dataset_train = create_dataset(
+        args.train_root,
+        args.train_label,
+        dataset_format=args.dataset_format,
+        is_train=True,
+        device_num=process_count,
+        rank_id=rank_id,
+        num_workers=getattr(args, "num_parallel_workers", 4),
+        config=args.dataset_setting,
+    )
+    loader_train = create_pipeline(
+        dataset_train,
+        transforms=args.train_transforms,
+        method=args.pipeline_method,
+        batch_size=per_process_batch,
+        is_train=True,
+        normalize_mean=args.normalize_mean,
+        normalize_std=args.normalize_std,
+        num_workers=getattr(args, "num_parallel_workers", 4),
+        config=args.dataset_setting,
+        seed=getattr(args, "seed", 0) or 0,
+    )
+
+    val_while_train = getattr(args, "val_while_train", False)
+    loader_val = None
+    if val_while_train:
+        dataset_val = create_dataset(
+            args.val_root,
+            args.val_label,
+            dataset_format=args.dataset_format,
+            is_train=False,
+            use_gt_bbox_for_val=getattr(args, "val_use_gt_bbox", True),
+            detection_file=getattr(args, "val_detection_result", None),
+            num_workers=getattr(args, "num_parallel_workers", 4),
+            config=args.dataset_setting,
+        )
+        loader_val = create_pipeline(
+            dataset_val,
+            transforms=args.val_transforms,
+            method=args.pipeline_method,
+            batch_size=per_process_batch,
+            is_train=False,
+            normalize_mean=args.normalize_mean,
+            normalize_std=args.normalize_std,
+            num_workers=getattr(args, "num_parallel_workers", 4),
+            config=args.dataset_setting,
+        )
+
+    # ---- model (ref train.py:111-140) ----
+    net = create_network(
+        backbone_name=args.backbone_name,
+        head_name=args.head_name,
+        neck_name=getattr(args, "neck_name", "") or "",
+        backbone_pretrained=getattr(args, "backbone_pretrained", False),
+        backbone_ckpt_url=getattr(args, "backbone_ckpt_url", "") or "",
+        in_channels=getattr(args, "in_channels", 3),
+        neck_out_channels=getattr(args, "neck_out_channels", None) or 256,
+        num_joints=args.num_joints,
+        backbone_args=getattr(args, "backbone_setting", None),
+        neck_args=getattr(args, "neck_setting", None),
+        head_args=getattr(args, "head_setting", None),
+        dtype=dtype,
+    )
+
+    image_size = args.dataset_setting["image_size"]
+    dummy = jnp.zeros((1, image_size[1], image_size[0], 3), jnp.float32)
+    rng = jax.random.PRNGKey(getattr(args, "seed", 0) or 0)
+    variables = net.init(rng, dummy, train=False)
+
+    pretrained_path = getattr(args, "backbone_ckpt_url", "") or ""
+    if getattr(args, "backbone_pretrained", False) and os.path.isfile(pretrained_path):
+        variables = load_pretrained_backbone(pretrained_path, variables)
+
+    loss = create_loss(args.loss, **(getattr(args, "loss_setting", None) or {}))
+    net_with_loss = create_network_with_loss(
+        net, loss, has_extra_inputs=getattr(args, "loss_with_extra_input", False)
+    )
+
+    # ---- lr scheduler + optimizer (ref train.py:143-160) ----
+    steps_per_epoch = len(loader_train)
+    lr_scheduler = create_lr_scheduler(
+        args.scheduler,
+        lr=args.lr,
+        total_epochs=args.num_epochs,
+        steps_per_epoch=steps_per_epoch,
+        warmup=getattr(args, "warmup", 0),
+        **(getattr(args, "lr_scheduler_setting", None) or {}),
+    )
+    tx = create_optimizer(
+        variables["params"],
+        name=args.optimizer,
+        learning_rate=lr_scheduler,
+        weight_decay=getattr(args, "weight_decay", 0.0),
+        filter_bias_and_bn=getattr(args, "filter_bias_and_bn", True),
+        **(getattr(args, "optimizer_setting", None) or {}),
+    )
+    state = create_train_state(variables, tx)
+
+    # ---- resume (ref train.py:163-167) ----
+    if getattr(args, "ckpt", None):
+        state = restore_train_state(args.ckpt, state)
+
+    step_fn = build_train_step(net_with_loss, tx, mesh=mesh)
+
+    # ---- eval engines (ref train.py:184-206) ----
+    inferencer = evaluator = None
+    if val_while_train:
+        decoder = create_decoder(
+            args.decoder_name, **(getattr(args, "decoder_setting", None) or {})
+        )
+        eval_net = create_eval_network(
+            net, decoder, output_raw=args.eval_setting.get("has_heatmap_output", True)
+        )
+        inferencer = create_inferencer(
+            eval_net,
+            name=args.inference_method,
+            config=args.eval_setting,
+            dataset_config=args.dataset_setting,
+        )
+        evaluator = create_evaluator(
+            args.val_label,
+            name=args.eval_method,
+            metric=args.eval_metric,
+            config=args.eval_setting,
+            dataset_config=args.dataset_setting,
+        )
+
+    # ---- callbacks (ref train.py:212-229) ----
+    config_name = os.path.splitext(os.path.basename(args.config))[0]
+    ckpt_dir = getattr(args, "ckpt_save_dir", "./ckpt")
+    callback = EvalCallback(
+        inferencer=inferencer,
+        evaluator=evaluator,
+        dataset_val=loader_val,
+        interval=getattr(args, "val_interval", 1),
+        max_epoch=args.num_epochs,
+        save_best=getattr(args, "save_best", False),
+        save_last=getattr(args, "save_last", False),
+        best_ckpt_path=os.path.join(ckpt_dir, f"{config_name}_best.ckpt"),
+        last_ckpt_path=os.path.join(ckpt_dir, f"{config_name}_last.ckpt"),
+        target_metric_name=args.eval_metric[0]
+        if isinstance(args.eval_metric, list)
+        else args.eval_metric,
+        summary_dir=os.path.join(ckpt_dir, "summary"),
+        rank_id=rank_id,
+        device_num=process_count,
+    )
+
+    # ---- train loop (replaces model.train(sink_mode), ref train.py:233) ----
+    final_columns = FINAL_COLUMN_MAP[args.pipeline_method]["train"]
+    for epoch in range(1, args.num_epochs + 1):
+        timer = StepTimer()  # per-epoch: first epoch includes compile time
+        callback.on_epoch_begin(epoch)
+        for batch in loader_train:
+            timer.start()
+            arrays = shard_batch(
+                [np.ascontiguousarray(batch[c]) for c in final_columns], mesh
+            )
+            state, loss_vec = step_fn(state, *arrays)
+            callback.on_step_end(loss_vec)
+            timer.stop(len(batch[final_columns[0]]))
+        lr_now = float(lr_scheduler(int(state.step)))
+        callback.on_epoch_end(epoch, state, lr_now)
+        logging.info(
+            "throughput: %.1f images/sec (%.1f/chip)",
+            timer.images_per_sec * process_count,
+            timer.images_per_sec * process_count / max(len(devices), 1),
+        )
+
+
+def main() -> None:
+    setup_default_logging()
+    args = parse_args(description="mindpose_tpu training")
+    train(args)
+
+
+if __name__ == "__main__":
+    main()
