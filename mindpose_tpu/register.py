@@ -35,7 +35,7 @@ def register(module_name: str, extra_name: str = "") -> Callable[..., Any]:
 
     def wrapper(fn: Callable[..., Any]) -> Callable[..., Any]:
         _global_register(module_name, fn.__name__, fn)
-        if extra_name:
+        if extra_name and extra_name != fn.__name__:
             _global_register(module_name, extra_name, fn)
         return fn
 

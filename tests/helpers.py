@@ -57,6 +57,14 @@ def make_tiny_coco(
             for k in range(17):
                 kx = x0 + 10 + (k % 4) * 25
                 ky = y0 + 10 + (k // 4) * 38
+                # distinctive per-joint marker so keypoints are visually
+                # localizable by a conv net (e2e overfit tests rely on this)
+                color = (
+                    int(50 + 12 * k) % 256,
+                    int(250 - 13 * k) % 256,
+                    int(40 + 37 * k) % 256,
+                )
+                cv2.circle(img, (kx, ky), 6, color, -1)
                 kpts.extend([float(kx), float(ky), 2])
                 num_vis += 1
             annotations.append(

@@ -1,0 +1,91 @@
+"""Registry and config-system tests."""
+import os
+import tempfile
+
+import pytest
+import yaml
+
+import mindpose_tpu as mp
+from mindpose_tpu.config import parse_args
+from mindpose_tpu.register import entrypoint, has_component, list_components
+
+
+def test_registered_component_names_parity():
+    """The public string API a rebuild must honor (SURVEY.md §2.1)."""
+    expected = {
+        "backbone": ["resnet50", "resnet101", "resnet152", "hrnet_w32", "hrnet_w48"],
+        "head": ["simple_baseline_head", "hrnet_head", "higher_hrnet_head"],
+        "decoder": ["topdown_heatmap", "bottomup_heatmap_ae"],
+        "loss": ["joint_mse", "joint_mse_with_mask", "ae", "ae_multi_loss"],
+        "dataset": ["coco_topdown", "coco_bottomup", "imagefolder_bottomup"],
+        "inferencer": ["topdown_heatmap", "bottomup_heatmap_ae"],
+        "evaluator": ["topdown", "bottomup"],
+        "optim": ["adam", "sgd", "momentum", "adagrad", "adamw"],
+        "lr_scheduler": ["warmup_cosine_decay", "warmup_multi_step_decay"],
+        "transform": [
+            "topdown_box_to_center_scale", "topdown_affine",
+            "topdown_generate_target", "topdown_horizontal_random_flip",
+            "topdown_halfbody_transform", "topdown_randomscale_rotation",
+            "bottomup_horizontal_random_flip", "bottomup_rescale",
+            "bottomup_resize", "bottomup_random_affine",
+            "bottomup_generate_target", "bottomup_pad",
+        ],
+    }
+    for module, names in expected.items():
+        registered = set(list_components(module))
+        missing = set(names) - registered
+        assert not missing, f"missing {module} components: {missing}"
+
+
+def test_entrypoint_errors():
+    with pytest.raises(ValueError, match="Unknown module"):
+        entrypoint("nope", "x")
+    with pytest.raises(ValueError, match="Unknown component"):
+        entrypoint("backbone", "nope")
+    assert has_component("backbone", "resnet50")
+    assert not has_component("backbone", "nope")
+
+
+def test_config_yaml_and_overrides():
+    cfg = {
+        "batch_size": 16,
+        "lr": 0.001,
+        "dataset_setting": {"image_size": [192, 256], "pixel_std": 200.0},
+    }
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as f:
+        yaml.safe_dump(cfg, f)
+        path = f.name
+    try:
+        args = parse_args(
+            ["--config", path, "--cfg-options",
+             "batch_size=32", "dataset_setting.pixel_std=100.0",
+             "new_key='hello'"]
+        )
+        assert args.batch_size == 32
+        assert args.lr == 0.001
+        assert args.dataset_setting["pixel_std"] == 100.0
+        assert args.dataset_setting["image_size"] == [192, 256]
+        assert args.new_key == "hello"
+        assert "lr" in args
+        assert args.get("missing", 42) == 42
+    finally:
+        os.unlink(path)
+
+
+def test_all_configs_parse():
+    import glob
+
+    configs = glob.glob("configs/**/*.yaml", recursive=True)
+    assert len(configs) >= 11
+    for path in configs:
+        args = parse_args(["--config", path])
+        assert args.num_joints == 17
+        assert args.pipeline_method in ("topdown", "bottomup")
+        # every transform name must be registered
+        for t in list(args.train_transforms) + list(args.val_transforms):
+            name = t if isinstance(t, str) else list(t.keys())[0]
+            assert has_component("transform", name), f"{path}: {name}"
+        assert has_component("backbone", args.backbone_name)
+        assert has_component("head", args.head_name)
+        assert has_component("loss", args.loss)
+        assert has_component("decoder", args.decoder_name)
