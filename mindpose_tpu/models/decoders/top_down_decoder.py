@@ -36,6 +36,10 @@ class TopDownHeatMapDecoder(Decoder):
     use_udp: bool = False
     dark_udp_refine: bool = False
     kernel_size: int = 11
+    # "xla" (default) or "pallas": fused single-VMEM-pass argmax+shift kernel
+    # (ops/pallas/decode.py). The pallas path is opt-in because Mosaic
+    # compilation through remote-compile tunnels can be slow.
+    backend: str = "xla"
 
     def __post_init__(self):
         if self.dark_udp_refine and self.shift_coordinate:
@@ -55,12 +59,20 @@ class TopDownHeatMapDecoder(Decoder):
         scale = scale.astype(jnp.float32)
         score = score.astype(jnp.float32).reshape(heatmap.shape[0])
 
-        coords, maxvals, idx = argmax_coords(heatmap)
-        if self.shift_coordinate:
-            coords = quarter_offset(heatmap, coords, idx)
-        elif self.dark_udp_refine:
-            kernel = jnp.asarray(gaussian_kernel_2d(self.kernel_size))
-            coords = dark_udp_refine(coords, heatmap, kernel)
+        if self.backend == "pallas" and not self.dark_udp_refine:
+            from ...ops.pallas.decode import argmax_shift_decode
+
+            n, h, w, k = heatmap.shape
+            coords, maxvals = argmax_shift_decode(
+                heatmap, h, w, shift=self.shift_coordinate
+            )
+        else:
+            coords, maxvals, idx = argmax_coords(heatmap)
+            if self.shift_coordinate:
+                coords = quarter_offset(heatmap, coords, idx)
+            elif self.dark_udp_refine:
+                kernel = jnp.asarray(gaussian_kernel_2d(self.kernel_size))
+                coords = dark_udp_refine(coords, heatmap, kernel)
         if self.to_original:
             coords = self._transform_preds(coords, center, scale, heatmap.shape[1:3])
 
