@@ -37,6 +37,12 @@ def decode_rle(rle: Dict[str, Any]) -> np.ndarray:
     total = int(counts.sum())
     if total != h * w:
         raise ValueError(f"RLE counts sum {total} != h*w {h * w}")
+
+    from .native import decode_rle_native
+
+    native = decode_rle_native(counts, h, w)
+    if native is not None:
+        return native
     # runs alternate 0-run, 1-run, ... in column-major (Fortran) order
     vals = np.zeros(len(counts), dtype=np.uint8)
     vals[1::2] = 1

@@ -94,9 +94,22 @@ class COCOeval:
         variances = (sigmas * 2) ** 2
         k = len(sigmas)
 
+        from .native import compute_oks_row
+
+        dt_arr = np.ascontiguousarray(
+            [np.asarray(d["keypoints"], np.float64) for d in dts]
+        )
+
         ious = np.zeros((len(dts), len(gts)))
         for j, gt in enumerate(gts):
             g = np.array(gt["keypoints"])
+            native_row = compute_oks_row(
+                g, dt_arr, gt["area"], np.asarray(gt["bbox"], np.float64),
+                variances,
+            )
+            if native_row is not None:
+                ious[:, j] = native_row
+                continue
             xg, yg, vg = g[0::3], g[1::3], g[2::3]
             k1 = np.count_nonzero(vg > 0)
             bb = gt["bbox"]

@@ -37,6 +37,12 @@ def oks_iou(
     d = np.asarray(d)
     if d.size == 0:
         return np.zeros(0, dtype=np.float32)
+
+    from .native import oks_iou_pairs
+
+    native = oks_iou_pairs(g, d, a_g, np.asarray(a_d), variances, vis_thr)
+    if native is not None:
+        return native.astype(np.float32)
     xd, yd, vd = d[:, 0::3], d[:, 1::3], d[:, 2::3]
 
     dx = xd - xg[None, :]

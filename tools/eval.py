@@ -25,6 +25,9 @@ from mindpose_tpu.models import (
 )
 from mindpose_tpu.utils import load_checkpoint
 from common.log import setup_default_logging
+from mindpose_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def evaluate(args):

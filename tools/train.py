@@ -40,6 +40,9 @@ from mindpose_tpu.parallel import (
 from mindpose_tpu.scheduler import create_lr_scheduler
 from mindpose_tpu.utils import StepTimer, load_pretrained_backbone, restore_train_state
 from common.log import setup_default_logging
+from mindpose_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def train(args) -> None:
