@@ -60,8 +60,14 @@ def create_pipeline(
     num_workers: int = 1,
     config: Optional[Dict[str, Any]] = None,
     seed: int = 0,
+    final_columns: Optional[List[str]] = None,
 ) -> DataLoader:
-    """Build the transform pipeline and return a batched DataLoader."""
+    """Build the transform pipeline and return a batched DataLoader.
+
+    ``final_columns`` overrides the method's default projection — used by the
+    on-device pipeline, which ships raw keypoints instead of host-rendered
+    targets.
+    """
     if isinstance(dataset, dict):
         bundle = dataset
     else:
@@ -74,7 +80,7 @@ def create_pipeline(
         }
 
     phase = "train" if is_train else "val"
-    final_column_names = FINAL_COLUMN_MAP[method][phase]
+    final_column_names = final_columns or FINAL_COLUMN_MAP[method][phase]
 
     transform_funcs = _convert_names_to_transform(
         transforms, is_train=is_train, config=config

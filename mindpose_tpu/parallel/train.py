@@ -52,15 +52,24 @@ def build_train_step(
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    preprocess: Optional[Callable] = None,
 ) -> Callable:
     """Returns ``train_step(state, *batch_arrays) -> (state, loss_vector)``.
 
     ``batch_arrays`` are the final data columns in order (data, label,
     *extra). With a mesh, the batch dim is sharded over the data axis and
     params/state are replicated; without one, it's a plain single-device jit.
+
+    ``preprocess`` (optional) runs INSIDE the jitted/sharded step on the raw
+    batch columns before the forward pass — the hook for the on-device input
+    pipeline (normalize + Gaussian target rasterization, ops/image+target),
+    fused by XLA into the step.
     """
 
     def local_step(state: TrainState, *batch):
+        if preprocess is not None:
+            batch = preprocess(*batch)
+
         def loss_fn(params):
             loss, new_stats = net_with_loss.apply(
                 {"params": params, "batch_stats": state.batch_stats}, *batch

@@ -47,6 +47,12 @@ enable_compilation_cache()
 
 def train(args) -> None:
     # ---- runtime / distributed context (ref train.py:38-55) ----
+    # multi-host: one process per host, bootstrapped by jax.distributed
+    # (replaces the reference's mpirun + HCCL stack). On TPU pods the
+    # coordinator is auto-detected from the environment.
+    if getattr(args, "distributed_init", False):
+        jax.distributed.initialize()
+
     devices = jax.devices()
     process_count = jax.process_count()
     rank_id = jax.process_index()
@@ -76,17 +82,48 @@ def train(args) -> None:
         num_workers=getattr(args, "num_parallel_workers", 4),
         config=args.dataset_setting,
     )
+    # on-device pipeline: host stops at the affine crop; normalize + target
+    # rasterization fuse into the jitted train step (data/device_pipeline.py)
+    device_pipeline = (
+        getattr(args, "device_pipeline", False)
+        and args.pipeline_method == "topdown"
+    )
+    train_transforms = args.train_transforms
+    preprocess = None
+    final_columns_override = None
+    if device_pipeline:
+        from mindpose_tpu.data.device_pipeline import (
+            DEVICE_FINAL_COLUMNS,
+            build_topdown_preprocess,
+            strip_host_target_transform,
+        )
+
+        train_transforms, target_kwargs = strip_host_target_transform(
+            train_transforms
+        )
+        preprocess = build_topdown_preprocess(
+            image_size=args.dataset_setting["image_size"],
+            heatmap_size=args.dataset_setting["heatmap_size"],
+            normalize_mean=args.normalize_mean,
+            normalize_std=args.normalize_std,
+            **target_kwargs,
+        )
+        final_columns_override = DEVICE_FINAL_COLUMNS
+        logging.info("device input pipeline enabled (on-device encode)")
+
     loader_train = create_pipeline(
         dataset_train,
-        transforms=args.train_transforms,
+        transforms=train_transforms,
         method=args.pipeline_method,
         batch_size=per_process_batch,
         is_train=True,
+        normalize=not device_pipeline,
         normalize_mean=args.normalize_mean,
         normalize_std=args.normalize_std,
         num_workers=getattr(args, "num_parallel_workers", 4),
         config=args.dataset_setting,
         seed=getattr(args, "seed", 0) or 0,
+        final_columns=final_columns_override,
     )
 
     val_while_train = getattr(args, "val_while_train", False)
@@ -168,7 +205,7 @@ def train(args) -> None:
     if getattr(args, "ckpt", None):
         state = restore_train_state(args.ckpt, state)
 
-    step_fn = build_train_step(net_with_loss, tx, mesh=mesh)
+    step_fn = build_train_step(net_with_loss, tx, mesh=mesh, preprocess=preprocess)
 
     # ---- eval engines (ref train.py:184-206) ----
     inferencer = evaluator = None
@@ -215,18 +252,27 @@ def train(args) -> None:
     )
 
     # ---- train loop (replaces model.train(sink_mode), ref train.py:233) ----
-    final_columns = FINAL_COLUMN_MAP[args.pipeline_method]["train"]
+    final_columns = (
+        final_columns_override
+        or FINAL_COLUMN_MAP[args.pipeline_method]["train"]
+    )
+    from mindpose_tpu.utils.profiler import trace
+
+    profile = getattr(args, "profile", False)
+    profile_dir = getattr(args, "profile_dir", os.path.join(ckpt_dir, "trace"))
     for epoch in range(1, args.num_epochs + 1):
         timer = StepTimer()  # per-epoch: first epoch includes compile time
         callback.on_epoch_begin(epoch)
-        for batch in loader_train:
-            timer.start()
-            arrays = shard_batch(
-                [np.ascontiguousarray(batch[c]) for c in final_columns], mesh
-            )
-            state, loss_vec = step_fn(state, *arrays)
-            callback.on_step_end(loss_vec)
-            timer.stop(len(batch[final_columns[0]]))
+        # profile the 2nd epoch (1st is compile-dominated)
+        with trace(profile_dir, enabled=profile and epoch == 2):
+            for batch in loader_train:
+                timer.start()
+                arrays = shard_batch(
+                    [np.ascontiguousarray(batch[c]) for c in final_columns], mesh
+                )
+                state, loss_vec = step_fn(state, *arrays)
+                callback.on_step_end(loss_vec)
+                timer.stop(len(batch[final_columns[0]]))
         lr_now = float(lr_scheduler(int(state.step)))
         callback.on_epoch_end(epoch, state, lr_now)
         logging.info(
