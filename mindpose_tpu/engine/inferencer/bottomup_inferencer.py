@@ -42,6 +42,9 @@ class BottomUpHeatMapAEInferencer(Inferencer):
         cfg["pixel_std"] = float(self.config["pixel_std"])
         cfg["downsample_scale"] = self.config["downsample_scale"]
         cfg["refine_missing_joint"] = self.config["refine_missing_joint"]
+        # opt-in: run tag grouping on-device (jittable fixed-capacity
+        # matcher, ops/grouping.py) instead of host scipy Hungarian
+        cfg["device_grouping"] = self.config.get("device_grouping", False)
         flip_index = np.array(self.config["flip_pairs"])[:, ::-1].flatten()
         cfg["flip_index"] = np.insert(flip_index, 0, 0)
         return cfg
@@ -105,20 +108,35 @@ class BottomUpHeatMapAEInferencer(Inferencer):
         return outputs
 
     def _parse(self, val_k, tag_k, ind_k, heatmap, tagging_heatmap):
-        """Host post-processing: group by tag, score, optionally refine."""
-        keypoints = [
-            match_by_tag(
-                v, t, i,
-                joint_order=self._inference_cfg["joint_order"],
+        """Post-processing: group by tag, score, optionally refine."""
+        if self._inference_cfg["device_grouping"]:
+            from ...ops.grouping import match_by_tag_batch
+
+            groups, valid = match_by_tag_batch(
+                val_k, tag_k, ind_k,
+                joint_order=list(self._inference_cfg["joint_order"]),
                 vis_thr=self._inference_cfg["vis_thr"],
                 tag_thr=self._inference_cfg["tag_thr"],
                 ignore_too_much=self._inference_cfg["ignore_too_much"],
                 use_rounded_norm=self._inference_cfg["use_rounded_norm"],
             )
-            for v, t, i in zip(
-                np.asarray(val_k), np.asarray(tag_k), np.asarray(ind_k)
-            )
-        ]
+            groups = np.asarray(groups)
+            valid = np.asarray(valid)
+            keypoints = [g[v] for g, v in zip(groups, valid)]
+        else:
+            keypoints = [
+                match_by_tag(
+                    v, t, i,
+                    joint_order=self._inference_cfg["joint_order"],
+                    vis_thr=self._inference_cfg["vis_thr"],
+                    tag_thr=self._inference_cfg["tag_thr"],
+                    ignore_too_much=self._inference_cfg["ignore_too_much"],
+                    use_rounded_norm=self._inference_cfg["use_rounded_norm"],
+                )
+                for v, t, i in zip(
+                    np.asarray(val_k), np.asarray(tag_k), np.asarray(ind_k)
+                )
+            ]
 
         scores = [[y[:, 2].mean() for y in x] for x in keypoints]
 
