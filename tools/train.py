@@ -260,26 +260,42 @@ def train(args) -> None:
 
     profile = getattr(args, "profile", False)
     profile_dir = getattr(args, "profile_dir", os.path.join(ckpt_dir, "trace"))
-    for epoch in range(1, args.num_epochs + 1):
-        timer = StepTimer()  # per-epoch: first epoch includes compile time
-        callback.on_epoch_begin(epoch)
-        # profile the 2nd epoch (1st is compile-dominated)
-        with trace(profile_dir, enabled=profile and epoch == 2):
-            for batch in loader_train:
-                timer.start()
-                arrays = shard_batch(
-                    [np.ascontiguousarray(batch[c]) for c in final_columns], mesh
-                )
-                state, loss_vec = step_fn(state, *arrays)
-                callback.on_step_end(loss_vec)
-                timer.stop(len(batch[final_columns[0]]))
-        lr_now = float(lr_scheduler(int(state.step)))
-        callback.on_epoch_end(epoch, state, lr_now)
-        logging.info(
-            "throughput: %.1f images/sec (%.1f/chip)",
-            timer.images_per_sec * process_count,
-            timer.images_per_sec * process_count / max(len(devices), 1),
-        )
+    try:
+        for epoch in range(1, args.num_epochs + 1):
+            timer = StepTimer()  # per-epoch: first epoch includes compile time
+            callback.on_epoch_begin(epoch)
+            # profile the 2nd epoch (1st is compile-dominated)
+            with trace(profile_dir, enabled=profile and epoch == 2):
+                for batch in loader_train:
+                    timer.start()
+                    arrays = shard_batch(
+                        [np.ascontiguousarray(batch[c]) for c in final_columns],
+                        mesh,
+                    )
+                    state, loss_vec = step_fn(state, *arrays)
+                    callback.on_step_end(loss_vec)
+                    timer.stop(len(batch[final_columns[0]]))
+            lr_now = float(lr_scheduler(int(state.step)))
+            callback.on_epoch_end(epoch, state, lr_now)
+            logging.info(
+                "throughput: %.1f images/sec (%.1f/chip)",
+                timer.images_per_sec * process_count,
+                timer.images_per_sec * process_count / max(len(devices), 1),
+            )
+    except BaseException:
+        # crash-resume: persist the last completed state before propagating
+        # (the reference's closest analogue is the OpenI try/finally upload,
+        # train_on_openi.py:154-162)
+        if rank_id == 0:
+            crash_path = os.path.join(ckpt_dir, f"{config_name}_crash.ckpt")
+            try:
+                from mindpose_tpu.utils import save_checkpoint
+
+                save_checkpoint(crash_path, state)
+                logging.error("crash checkpoint saved to %s", crash_path)
+            except Exception:
+                logging.exception("failed to save crash checkpoint")
+        raise
 
 
 def main() -> None:
