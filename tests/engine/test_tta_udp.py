@@ -93,3 +93,27 @@ def test_hflip_tta_runs_and_matches(trained):
                 {"hflip_tta": True, "shift_heatmap": True})
     # TTA must not collapse the result; allow modest differences
     assert tta["AP .5"] >= base["AP .5"] * 0.5, (base, tta)
+
+
+def test_predictor_serving_api(trained):
+    from mindpose_tpu.engine import TopDownPredictor
+    import cv2
+
+    img_root, ann, net, state = trained
+    predictor = TopDownPredictor(
+        net,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        dataset_setting=TINY_SETTING,
+        decoder_setting={"use_udp": True},
+        batch_size=4,
+    )
+    img = cv2.cvtColor(
+        cv2.imread(f"{img_root}/000000000001.jpg"), cv2.COLOR_BGR2RGB
+    )
+    # two boxes (one real-ish, one partial) -> padding path exercised with 5
+    boxes = np.array([[20, 30, 100, 180]] * 5, np.float32)
+    preds = predictor(img, boxes)
+    assert preds.shape == (5, 17, 3)
+    # all predictions inside the image frame and identical across identical boxes
+    assert (preds[..., 0] >= -10).all() and (preds[..., 0] <= img.shape[1] + 10).all()
+    np.testing.assert_allclose(preds[0], preds[4], atol=1e-4)
