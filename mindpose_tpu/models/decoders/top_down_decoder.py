@@ -59,7 +59,14 @@ class TopDownHeatMapDecoder(Decoder):
         scale = scale.astype(jnp.float32)
         score = score.astype(jnp.float32).reshape(heatmap.shape[0])
 
-        if self.backend == "pallas" and not self.dark_udp_refine:
+        import jax
+
+        use_pallas = (
+            self.backend == "pallas"
+            and not self.dark_udp_refine
+            and jax.default_backend() == "tpu"  # Mosaic kernels are TPU-only
+        )
+        if use_pallas:
             from ...ops.pallas.decode import argmax_shift_decode
 
             n, h, w, k = heatmap.shape

@@ -23,7 +23,6 @@ from mindpose_tpu.models import (
     create_eval_network,
     create_network,
 )
-from mindpose_tpu.utils import load_checkpoint
 from common.log import setup_default_logging
 from mindpose_tpu.utils.cache import enable_compilation_cache
 
@@ -75,7 +74,6 @@ def evaluate(args):
     if not getattr(args, "ckpt", None):
         raise ValueError("--ckpt is required for evaluation")
     # checkpoints store the full TrainState; accept raw variables too
-    from mindpose_tpu.utils.checkpoint import load_checkpoint as _load
     from flax import serialization
 
     with open(args.ckpt, "rb") as f:
