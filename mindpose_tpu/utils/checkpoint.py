@@ -50,11 +50,16 @@ def load_pretrained_backbone(
 ) -> Dict[str, Any]:
     """Non-strict load of backbone params/stats from a full-net checkpoint.
 
-    Accepts either a serialized TrainState-like dict or a raw variables dict;
-    copies the ``backbone`` subtree where array shapes match, leaving the
-    rest untouched (parity with the reference's non-strict load,
-    models/backbones/utils.py:37-42).
+    Accepts a local path or URL (downloaded with md5-less caching, parity
+    with models/backbones/utils.py:10-42); the source may be a serialized
+    TrainState-like dict or a raw variables dict. Copies the ``backbone``
+    subtree where array shapes match, leaving the rest untouched.
     """
+    if path.startswith(("http://", "https://")):
+        from .download import DownLoad
+
+        path = DownLoad().download_url(path, path="./cache/pretrained")
+
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
 
