@@ -5,7 +5,6 @@ The forward + (TTA merge) + decode runs as ONE jitted device function; ragged
 final batches are padded to the compiled batch size (static shapes for XLA)
 and the padding is trimmed on host.
 """
-from functools import partial
 from typing import Any, Dict, List
 
 import jax

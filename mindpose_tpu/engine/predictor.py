@@ -6,7 +6,7 @@ a fixed batch size (padding partial batches so XLA never recompiles), runs
 the same host-side crop geometry as the val pipeline, and returns keypoints
 in the original image frame.
 """
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

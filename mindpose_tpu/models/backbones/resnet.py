@@ -6,7 +6,6 @@ TPU-native Flax/NHWC re-design of the reference ResNet
 expansion 4, out_channels 2048) but pure-functional modules with bf16 compute
 and float32 params, composed under ``jit``.
 """
-from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn

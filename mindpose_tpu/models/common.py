@@ -4,8 +4,7 @@ All models are NHWC (TPU-native conv layout) with a configurable compute
 ``dtype`` (bf16 by default under AMP) and float32 parameters. BatchNorm
 statistics are always accumulated in float32 (flax upcasts internally).
 """
-from functools import partial
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

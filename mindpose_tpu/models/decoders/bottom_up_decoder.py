@@ -6,7 +6,7 @@ fill, maxpool-NMS via reduce_window, per-joint top-K with gathered tags, and
 an optional +-0.25 shift computed with fixed-shape gathers.
 """
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ per-sample inverse affine matrix and bilinearly samples the source, all as
 fused XLA gathers under jit/vmap. Zero padding outside the source.
 """
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

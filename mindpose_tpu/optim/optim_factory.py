@@ -8,7 +8,7 @@ that's BatchNorm ``scale``/``bias`` and conv/dense ``bias`` leaves).
 ``loss_scale`` is accepted for config parity but unused: bf16 training on TPU
 needs no loss scaling.
 """
-from typing import Any, Callable, Optional, Union
+from typing import Any, Callable, Union
 
 import jax
 import optax

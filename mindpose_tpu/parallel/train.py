@@ -13,7 +13,6 @@ Multi-component losses (AE: [push, pull] / [mse, push, pull]) are summed for
 the backward pass and returned per-component for logging, mirroring
 MindSpore's all-ones sens gradient semantics.
 """
-from functools import partial
 from typing import Any, Callable, Optional, Sequence
 
 import jax

@@ -8,7 +8,7 @@ backbone-pretrained loading is non-strict subtree copy by matching names.
 """
 import logging
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 from flax import serialization

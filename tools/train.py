@@ -65,6 +65,10 @@ def train(args) -> None:
         mesh.shape if mesh else None,
     )
 
+    # seed host-side augmentation RNG per process (the loader's shuffle has
+    # its own epoch-seeded stream; transforms use the global numpy stream)
+    np.random.seed((getattr(args, "seed", 0) or 0) + rank_id)
+
     amp = getattr(args, "amp_level", "O0")
     dtype = jnp.bfloat16 if amp not in ("O0", None) else jnp.float32
 
