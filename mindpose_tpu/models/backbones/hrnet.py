@@ -99,6 +99,10 @@ class HRNet(Backbone):
     stage_cfg: Any = None
     in_channels: int = 3
     dtype: Dtype = jnp.float32
+    # rematerialize exchange units in the backward pass: HRNet training is
+    # HBM-bandwidth-bound on TPU (docs/performance.md), so trading activation
+    # storage for recompute FLOPs can raise throughput
+    remat: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -134,9 +138,13 @@ class HRNet(Backbone):
             cur_channels = self._stage_channels(cfg)
             xs = self._transition(xs, pre_channels, cur_channels, train)
             multi_out = cfg.get("multiscale_output", True)
+            # static_argnums: `train` (arg 2 incl. self) is a python bool
+            module_cls = (
+                nn.remat(HRModule, static_argnums=(2,)) if self.remat else HRModule
+            )
             for m in range(cfg["num_modules"]):
                 is_last_module = m == cfg["num_modules"] - 1
-                xs = HRModule(
+                xs = module_cls(
                     num_branches=cfg["num_branches"],
                     block=cfg["block"],
                     num_blocks=tuple(cfg["num_blocks"]),
@@ -232,7 +240,8 @@ def hrnet_w32(
     **kwargs: Any,
 ) -> HRNet:
     """HRNet-W32 (parity: /root/reference/mindpose/models/backbones/hrnet.py:617)."""
-    return HRNet(stage_cfg=_freeze_cfg(_w_cfg(32)), in_channels=in_channels, dtype=dtype)
+    return HRNet(stage_cfg=_freeze_cfg(_w_cfg(32)), in_channels=in_channels,
+                 dtype=dtype, remat=bool(kwargs.get("remat", False)))
 
 
 @register("backbone")
@@ -244,4 +253,5 @@ def hrnet_w48(
     **kwargs: Any,
 ) -> HRNet:
     """HRNet-W48 (parity: /root/reference/mindpose/models/backbones/hrnet.py:669)."""
-    return HRNet(stage_cfg=_freeze_cfg(_w_cfg(48)), in_channels=in_channels, dtype=dtype)
+    return HRNet(stage_cfg=_freeze_cfg(_w_cfg(48)), in_channels=in_channels,
+                 dtype=dtype, remat=bool(kwargs.get("remat", False)))
