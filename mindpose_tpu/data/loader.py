@@ -22,6 +22,38 @@ import numpy as np
 
 __all__ = ["DataLoader"]
 
+# --- process-worker machinery -----------------------------------------------
+# Threads cap at ~250 samples/s on the full top-down transform stack (the
+# numpy encode holds the GIL; only the cv2 calls release it). Process workers
+# give true parallelism; the dataset/transform stack is shipped once per
+# worker via the pool initializer.
+
+_WORKER_STATE: Dict[str, Any] = {}
+
+
+def _process_worker_init(dataset, transforms, normalize, mean, std, seed):
+    import os
+
+    _WORKER_STATE["dataset"] = dataset
+    _WORKER_STATE["transforms"] = transforms
+    _WORKER_STATE["normalize"] = normalize
+    _WORKER_STATE["mean"] = mean
+    _WORKER_STATE["std"] = std
+    np.random.seed((seed + os.getpid()) % (2**31))
+    cv2.setNumThreads(1)
+
+
+def _process_worker_run(idx: int) -> Dict[str, Any]:
+    state = _WORKER_STATE["dataset"][int(idx)]
+    state = _decode_image(state)
+    for t in _WORKER_STATE["transforms"]:
+        state = t(state)
+    if _WORKER_STATE["normalize"]:
+        state["image"] = (
+            state["image"].astype(np.float32) - _WORKER_STATE["mean"]
+        ) / _WORKER_STATE["std"]
+    return state
+
 
 def _decode_image(state: Dict[str, Any]) -> Dict[str, Any]:
     """Read + decode the record's image file into an RGB uint8 HWC array."""
@@ -51,6 +83,7 @@ class DataLoader:
         drop_remainder: Optional[bool] = None,
         seed: int = 0,
         prefetch_batches: int = 2,
+        worker_mode: str = "thread",
     ) -> None:
         self.dataset = dataset
         self.transforms = list(transforms)
@@ -66,9 +99,11 @@ class DataLoader:
         self.drop_remainder = is_train if drop_remainder is None else drop_remainder
         self.seed = seed
         self.prefetch_batches = prefetch_batches
+        self.worker_mode = worker_mode
         self.epoch = 0
 
         self._indices = np.arange(len(dataset))[self.rank_id :: self.device_num]
+        self._pool = None  # lazily created process pool (worker_mode="process")
 
     def __len__(self) -> int:
         n = len(self._indices)
@@ -101,6 +136,26 @@ class DataLoader:
                 batch[col] = np.stack([np.asarray(v) for v in vals])
         return batch
 
+    def _get_process_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            self._pool = ctx.Pool(
+                processes=self.num_workers,
+                initializer=_process_worker_init,
+                initargs=(
+                    self.dataset, self.transforms, self.normalize,
+                    self.mean, self.std, self.seed,
+                ),
+            )
+        return self._pool
+
+    def __del__(self):
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.terminate()
+
     def _epoch_indices(self) -> np.ndarray:
         idx = self._indices
         if self.is_train:
@@ -120,15 +175,29 @@ class DataLoader:
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
+        process_map = (
+            self._get_process_pool().map
+            if self.worker_mode == "process" and self.num_workers > 1
+            else None
+        )
 
         def producer():
             try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                if process_map is not None:
                     for bidx in batch_indices:
                         if stop.is_set():
                             return
-                        states = list(ex.map(self._process_one, bidx))
+                        states = process_map(
+                            _process_worker_run, [int(i) for i in bidx]
+                        )
                         out_q.put(self._collate(states))
+                else:
+                    with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                        for bidx in batch_indices:
+                            if stop.is_set():
+                                return
+                            states = list(ex.map(self._process_one, bidx))
+                            out_q.put(self._collate(states))
                 out_q.put(None)
             except BaseException as e:  # surface worker errors to the consumer
                 out_q.put(e)
