@@ -14,6 +14,11 @@ Dtype = Any
 # He-normal is the conventional init for conv+relu stacks.
 conv_kernel_init = nn.initializers.he_normal()
 
+# Final heatmap-regression convs start near zero so initial predictions sit
+# at the heatmap background (MindSpore's Conv2d default is a small truncated
+# normal; large inits waste early training undoing noise).
+final_kernel_init = nn.initializers.truncated_normal(stddev=0.001)
+
 
 def conv3x3(
     features: int, stride: int = 1, dtype: Dtype = jnp.float32, name: Optional[str] = None

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ...register import register
 from ..backbones.resnet import BasicBlock
-from ..common import batch_norm, conv_kernel_init
+from ..common import batch_norm, conv_kernel_init, final_kernel_init
 from .head import Head
 
 Dtype = Any
@@ -43,7 +43,8 @@ class HigherHRNetHead(Head):
         k = self.final_conv_kernel_size
         pad = ((1, 1), (1, 1)) if k == 3 else ((0, 0), (0, 0))
         return nn.Conv(
-            features, (k, k), padding=pad, use_bias=True, dtype=self.dtype, name=name
+            features, (k, k), padding=pad, use_bias=True, dtype=self.dtype,
+            kernel_init=final_kernel_init, name=name,
         )
 
     @nn.compact

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 
 from ...register import register
 from .head import Head
+from ..common import final_kernel_init
 
 Dtype = Any
 
@@ -30,6 +31,7 @@ class HRNetHead(Head):
             padding=pad,
             use_bias=True,
             dtype=self.dtype,
+            kernel_init=final_kernel_init,
             name="head",
         )(x.astype(self.dtype))
         return x

@@ -11,7 +11,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...register import register
-from ..common import batch_norm, conv_kernel_init
+from ..common import batch_norm, conv_kernel_init, final_kernel_init
 from .head import Head
 
 Dtype = Any
@@ -55,6 +55,7 @@ class SimpleBaselineHead(Head):
             padding=pad,
             use_bias=True,
             dtype=self.dtype,
+            kernel_init=final_kernel_init,
             name="final_layer",
         )(x)
         return x
