@@ -58,11 +58,15 @@ def make_tiny_coco(
                 kx = x0 + 10 + (k % 4) * 25
                 ky = y0 + 10 + (k // 4) * 38
                 # distinctive per-joint marker so keypoints are visually
-                # localizable by a conv net (e2e overfit tests rely on this)
+                # localizable by a conv net (e2e overfit tests rely on this).
+                # colors are identical within each left/right flip pair so
+                # horizontal-flip augmentation stays label-consistent (like
+                # real humans, left/right are distinguished by side only)
+                kc = k if k == 0 else (k - 1) // 2 * 2 + 1
                 color = (
-                    int(50 + 12 * k) % 256,
-                    int(250 - 13 * k) % 256,
-                    int(40 + 37 * k) % 256,
+                    int(50 + 12 * kc) % 256,
+                    int(250 - 13 * kc) % 256,
+                    int(40 + 37 * kc) % 256,
                 )
                 cv2.circle(img, (kx, ky), 6, color, -1)
                 kpts.extend([float(kx), float(ky), 2])
