@@ -147,7 +147,8 @@ def train(args) -> None:
             dataset_val,
             transforms=args.val_transforms,
             method=args.pipeline_method,
-            batch_size=per_process_batch,
+            # eval runs on rank-0's chip only (no sharding): per-device batch
+            batch_size=args.batch_size,
             is_train=False,
             normalize_mean=args.normalize_mean,
             normalize_std=args.normalize_std,
