@@ -11,7 +11,7 @@ import cv2
 import numpy as np
 
 from ...register import register
-from ...utils.coco import COCO, annotation_to_mask
+from ...utils.coco import COCO, annotation_to_mask, image_id_name_maps
 from .bottomup import BottomUpDataset
 
 
@@ -26,7 +26,7 @@ class COCOBottomUpDataset(BottomUpDataset):
 
     def load_dataset(self) -> List[Dict[str, Any]]:
         self.coco = COCO(self.annotation_file)
-        self.id2name, self.name2id = self._get_mapping_id_name(self.coco.imgs)
+        self.id2name, self.name2id = image_id_name_maps(self.coco.imgs)
         return self._load_coco_keypoint_annotations()
 
     def _load_coco_keypoint_annotations(self) -> List[Dict[str, Any]]:
@@ -54,17 +54,6 @@ class COCOBottomUpDataset(BottomUpDataset):
             "boxes": self._get_boxes(annos),
             "mask_info": mask_info,
         }
-
-    @staticmethod
-    def _get_mapping_id_name(
-        imgs: Dict[int, Dict],
-    ) -> Tuple[Dict[int, str], Dict[str, int]]:
-        id2name = {}
-        name2id = {}
-        for image_id, image in imgs.items():
-            id2name[image_id] = image["file_name"]
-            name2id[image["file_name"]] = image_id
-        return id2name, name2id
 
     def _get_keypoints(self, annos: List[Dict[str, Any]]) -> np.ndarray:
         """[levels, M, K, 3] keypoints (tiled per heatmap level)."""

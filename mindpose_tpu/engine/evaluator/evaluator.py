@@ -8,7 +8,7 @@ from typing import Any, Dict, List, Optional, Set, Tuple, Union
 
 import numpy as np
 
-from ...utils.coco import COCO
+from ...utils.coco import COCO, image_id_name_maps
 from ...utils.cocoeval import COCOeval
 
 
@@ -33,7 +33,7 @@ class Evaluator:
         self._evaluation_cfg = self.load_evaluation_cfg()
 
         self.coco = COCO(annotation_file)
-        self.id2name, self.name2id = self._get_mapping_id_name(self.coco.imgs)
+        self.id2name, self.name2id = image_id_name_maps(self.coco.imgs)
 
         cat_ids = self.coco.getCatIds()
         cats = [cat["name"] for cat in self.coco.loadCats(cat_ids)]
@@ -92,14 +92,3 @@ class Evaluator:
             "AR", "AR .5", "AR .75", "AR (M)", "AR (L)",
         ]
         return list(zip(stats_names, coco_eval.stats))
-
-    @staticmethod
-    def _get_mapping_id_name(
-        imgs: Dict[int, Dict],
-    ) -> Tuple[Dict[int, str], Dict[str, int]]:
-        id2name = {}
-        name2id = {}
-        for image_id, image in imgs.items():
-            id2name[image_id] = image["file_name"]
-            name2id[image["file_name"]] = image_id
-        return id2name, name2id

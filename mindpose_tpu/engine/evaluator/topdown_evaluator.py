@@ -1,6 +1,10 @@
-"""Top-down evaluator: dedup by bbox_id, rescoring, OKS-NMS, COCO AP.
+"""Top-down evaluator: dedup by bbox_id, keypoint rescoring, OKS-NMS, COCO AP.
 
-Parity: /root/reference/mindpose/engine/evaluator/topdown_evaluator.py:12-148.
+Behavioral parity:
+/root/reference/mindpose/engine/evaluator/topdown_evaluator.py:12-148 —
+group predictions per image, keep the first record per bbox_id (in bbox_id
+order), replace each instance score by box_score x mean(joint scores above
+``vis_thr``), optionally apply (soft-)OKS-NMS, then run the COCO keypoint AP.
 """
 import os
 from collections import defaultdict
@@ -42,51 +46,14 @@ class TopDownEvaluator(Evaluator):
         }
 
     def eval(self, inference_result: List[Dict[str, Any]]) -> Dict[str, Any]:
-        kpts = defaultdict(list)
-        for record in inference_result:
-            image_id = self.name2id[os.path.basename(record["image_path"])]
-            kpts[image_id].append(
-                {
-                    "keypoints": record["pred"],
-                    "center": record["box"][0:2],
-                    "scale": record["box"][2:4],
-                    "area": record["box"][4],
-                    "score": record["box"][5],
-                    "image_id": image_id,
-                    "bbox_id": record["bbox_id"],
-                }
-            )
-        kpts = self._sort_and_unique_bboxes(kpts)
+        per_image = self._collect_by_image(inference_result)
 
-        # keypoint-score rescoring + OKS NMS (ref :94-120)
-        vis_thr = self._evaluation_cfg["vis_thr"]
-        oks_thr = self._evaluation_cfg["oks_thr"]
-        valid_kpts = []
-        for image_id in kpts.keys():
-            img_kpts = kpts[image_id]
-            for n_p in img_kpts:
-                box_score = n_p["score"]
-                kpt_score = 0.0
-                valid_num = 0
-                for n_jt in range(self.num_joints):
-                    t_s = n_p["keypoints"][n_jt][2]
-                    if t_s > vis_thr:
-                        kpt_score += t_s
-                        valid_num += 1
-                if valid_num != 0:
-                    kpt_score = kpt_score / valid_num
-                n_p["score"] = kpt_score * box_score
+        kept = []
+        for persons in per_image.values():
+            self._rescore(persons)
+            kept.append(self._apply_nms(persons))
 
-            if self._evaluation_cfg["use_nms"]:
-                nms = soft_oks_nms if self._evaluation_cfg["soft_nms"] else oks_nms
-                keep = nms(
-                    img_kpts, oks_thr, sigmas=self._evaluation_cfg["sigmas"]
-                )
-                valid_kpts.append([img_kpts[_keep] for _keep in keep])
-            else:
-                valid_kpts.append(img_kpts)
-
-        self._write_coco_keypoint_results(valid_kpts, self.result_path)
+        self._write_coco_keypoint_results(kept, self.result_path)
         name_value = dict(self._do_python_keypoint_eval(self.result_path))
 
         for name in self.metrics:
@@ -98,12 +65,50 @@ class TopDownEvaluator(Evaluator):
             os.remove(self.result_path)
         return name_value
 
-    @staticmethod
-    def _sort_and_unique_bboxes(kpts, key: str = "bbox_id"):
-        for img_id, persons in kpts.items():
-            num = len(persons)
-            kpts[img_id] = sorted(kpts[img_id], key=lambda x: x[key])
-            for i in range(num - 1, 0, -1):
-                if kpts[img_id][i][key] == kpts[img_id][i - 1][key]:
-                    del kpts[img_id][i]
-        return kpts
+    def _collect_by_image(
+        self, records: List[Dict[str, Any]]
+    ) -> Dict[int, List[Dict[str, Any]]]:
+        """image_id -> instances sorted by bbox_id, first record per bbox_id
+        winning (TTA / ragged-batch padding can emit duplicates)."""
+        slots = defaultdict(dict)
+        for record in records:
+            image_id = self.name2id[os.path.basename(record["image_path"])]
+            # box layout from the inferencer: (center_xy, scale_xy, area, score)
+            box = np.asarray(record["box"])
+            entry = dict(
+                keypoints=record["pred"],
+                center=box[0:2],
+                scale=box[2:4],
+                area=box[4],
+                score=box[5],
+                image_id=image_id,
+                bbox_id=record["bbox_id"],
+            )
+            slots[image_id].setdefault(record["bbox_id"], entry)
+        return {
+            image_id: [by_bbox[b] for b in sorted(by_bbox)]
+            for image_id, by_bbox in slots.items()
+        }
+
+    def _rescore(self, persons: List[Dict[str, Any]]) -> None:
+        """score := box_score x mean joint confidence above vis_thr (in
+        place; zero when no joint clears the threshold)."""
+        vis_thr = self._evaluation_cfg["vis_thr"]
+        for person in persons:
+            joint_conf = np.asarray(person["keypoints"], np.float64)[
+                : self.num_joints, 2
+            ]
+            confident = joint_conf[joint_conf > vis_thr]
+            mean_conf = confident.mean() if confident.size else 0.0
+            person["score"] = float(mean_conf * person["score"])
+
+    def _apply_nms(self, persons: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        if not self._evaluation_cfg["use_nms"]:
+            return persons
+        nms = soft_oks_nms if self._evaluation_cfg["soft_nms"] else oks_nms
+        keep = nms(
+            persons,
+            self._evaluation_cfg["oks_thr"],
+            sigmas=self._evaluation_cfg["sigmas"],
+        )
+        return [persons[i] for i in keep]

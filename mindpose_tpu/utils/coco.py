@@ -17,7 +17,20 @@ from typing import Any, Dict, List, Optional, Union
 
 import numpy as np
 
-__all__ = ["COCO", "decode_rle", "poly_to_mask", "annotation_to_mask"]
+__all__ = [
+    "COCO",
+    "decode_rle",
+    "poly_to_mask",
+    "annotation_to_mask",
+    "image_id_name_maps",
+]
+
+
+def image_id_name_maps(imgs: Dict[int, Dict]) -> tuple:
+    """Build (id -> file_name, file_name -> id) maps from COCO image records."""
+    id2name = {image_id: meta["file_name"] for image_id, meta in imgs.items()}
+    name2id = {name: image_id for image_id, name in id2name.items()}
+    return id2name, name2id
 
 
 def decode_rle(rle: Dict[str, Any]) -> np.ndarray:

@@ -1,25 +1,70 @@
-"""Associative-embedding grouping: greedy-by-joint Hungarian matching.
+"""Associative-embedding grouping (host path).
 
-Parity: /root/reference/mindpose/utils/match.py:14-116 — iterate joints in
-``joint_order``; assign top-K candidates to running instance groups by L2 tag
-distance (optionally rounded) using ``scipy.optimize.linear_sum_assignment``;
-spawn a new group when the (unrounded) distance exceeds ``tag_thr``.
+Behavioral parity target: /root/reference/mindpose/utils/match.py:14-116 —
+visit joints in ``joint_order``; per joint, assign the above-threshold top-K
+candidates to existing instance groups by L2 distance between candidate tag
+and the group's running mean tag (cost optionally rounded for the assignment,
+the join test always uses the exact distance); any candidate whose optimal
+pairing is a dummy column or exceeds ``tag_thr`` starts a new group.
 
-Host-side per-image at eval. A jittable fixed-capacity variant for fully
-on-device decoding lives in mindpose_tpu.ops.grouping.
+This implementation keeps group state in a small bank object (ordered slots +
+spawn-key map) and computes the full candidate-by-group cost matrix in one
+vectorized step; only the optimal assignment itself uses scipy. A jittable
+fixed-capacity variant for fully on-device decoding lives in
+``mindpose_tpu.ops.grouping``.
 """
-from collections import defaultdict
 from typing import List
 
 import numpy as np
-import scipy.optimize
+from scipy.optimize import linear_sum_assignment
 
 __all__ = ["match_by_tag"]
 
+_FAR = 1e10
 
-def _max_match(scores: np.ndarray) -> np.ndarray:
-    assoc = scipy.optimize.linear_sum_assignment(scores)
-    return np.array(assoc).T.astype(np.int32)
+
+class _GroupBank:
+    """Ordered bank of instance groups, keyed by each group's spawn tag.
+
+    Keying by the scalar spawn tag (first tag dimension) reproduces the
+    reference's dict semantics: spawning with an already-seen key updates
+    that group's pose and resets its tag history instead of adding a slot.
+    """
+
+    def __init__(self, num_joints: int, feat_dim: int):
+        self._slot_of_key = {}
+        self._poses: List[np.ndarray] = []  # per group: [K, feat_dim]
+        self._tag_hist: List[List[np.ndarray]] = []  # per group: list of [L]
+        self._num_joints = num_joints
+        self._feat_dim = feat_dim
+
+    def __len__(self) -> int:
+        return len(self._poses)
+
+    def spawn(self, jidx: int, feat: np.ndarray, tag: np.ndarray) -> None:
+        key = tag[0]
+        slot = self._slot_of_key.get(key)
+        if slot is None:
+            slot = len(self._poses)
+            self._slot_of_key[key] = slot
+            self._poses.append(
+                np.zeros((self._num_joints, self._feat_dim), np.float32)
+            )
+            self._tag_hist.append([tag])
+        else:
+            self._tag_hist[slot] = [tag]
+        self._poses[slot][jidx] = feat
+
+    def join(self, slot: int, jidx: int, feat: np.ndarray, tag: np.ndarray) -> None:
+        self._poses[slot][jidx] = feat
+        self._tag_hist[slot].append(tag)
+
+    def mean_tags(self) -> np.ndarray:
+        """[G, L] running mean tag per group."""
+        return np.stack([np.mean(np.stack(h), axis=0) for h in self._tag_hist])
+
+    def stack(self) -> np.ndarray:
+        return np.asarray(self._poses, np.float32)
 
 
 def match_by_tag(
@@ -43,69 +88,47 @@ def match_by_tag(
     Returns:
         [num_instances, K, 3 + L] array (x, y, score, tags...).
     """
-    num_joints, max_num, tag_dim = tag_k.shape
+    num_joints, capacity, tag_dim = tag_k.shape
+    # candidate feature rows: (x, y, score, tag...)
+    feats = np.concatenate((ind_k, val_k[..., None], tag_k), axis=2).astype(
+        np.float32
+    )
 
-    default = np.zeros((num_joints, 3 + tag_dim), np.float32)
-    joint_k = np.concatenate((ind_k, val_k[..., None], tag_k), axis=2)
+    bank = _GroupBank(num_joints, 3 + tag_dim)
 
-    joint_dict = defaultdict(lambda: default.copy())
-    tag_dict = {}
-
-    for i in range(num_joints):
-        idx = joint_order[i]
-
-        tags = tag_k[idx]
-        joints = joint_k[idx]
-        mask = joints[:, 2] > vis_thr
-        tags = tags[mask]
-        if tags.shape[0] == 0:
+    for jidx in joint_order:
+        keep = feats[jidx, :, 2] > vis_thr
+        if not keep.any():
             continue
-        joints = joints[mask]
+        cand_feats = feats[jidx][keep]
+        cand_tags = tag_k[jidx][keep]
 
-        if i == 0 or len(joint_dict) == 0:
-            for j in range(tags.shape[0]):
-                key = tags[j, 0]
-                joint_dict[key][idx] = joints[j]
-                tag_dict[key] = [tags[j]]
+        if len(bank) == 0:
+            for feat, tag in zip(cand_feats, cand_tags):
+                bank.spawn(jidx, feat, tag)
+            continue
+        if ignore_too_much and len(bank) == capacity:
             continue
 
-        grouped_keys = list(joint_dict.keys())
-        if ignore_too_much and len(grouped_keys) == max_num:
-            continue
-        grouped_tags = np.stack(
-            [np.mean(np.stack(tag_dict[x]), axis=0) for x in grouped_keys]
+        # [n_cand, n_grp] exact L2 tag distances; the assignment may use a
+        # rounded copy, but the join decision always uses the exact value.
+        exact = np.linalg.norm(
+            cand_feats[:, None, 3:] - bank.mean_tags()[None, :, :], axis=2
         )
-
-        diff = joints[:, None, 3:] - grouped_tags[None, :, :]
-        diff_normed = np.linalg.norm(diff, ord=2, axis=2)
-        diff_saved = diff_normed.copy()
-        if use_rounded_norm:
-            diff_normed = np.round(diff_normed)
-
-        num_added = diff.shape[0]
-        num_grouped = diff.shape[1]
-        if num_added > num_grouped:
-            diff_normed = np.concatenate(
-                (
-                    diff_normed,
-                    np.zeros((num_added, num_added - num_grouped), np.float32) + 1e10,
-                ),
-                axis=1,
+        cost = np.round(exact) if use_rounded_norm else exact
+        n_cand, n_grp = cost.shape
+        if n_cand > n_grp:
+            # dummy columns so every candidate is assigned (and spawns when
+            # it lands on a dummy)
+            cost = np.hstack(
+                [cost, np.full((n_cand, n_cand - n_grp), _FAR, cost.dtype)]
             )
 
-        pairs = _max_match(diff_normed)
-        for row, col in pairs:
-            if (
-                row < num_added
-                and col < num_grouped
-                and diff_saved[row][col] < tag_thr
-            ):
-                key = grouped_keys[col]
-                joint_dict[key][idx] = joints[row]
-                tag_dict[key].append(tags[row])
+        rows, cols = linear_sum_assignment(cost)
+        for r, c in zip(rows, cols):
+            if c < n_grp and exact[r, c] < tag_thr:
+                bank.join(c, jidx, cand_feats[r], cand_tags[r])
             else:
-                key = tags[row, 0]
-                joint_dict[key][idx] = joints[row]
-                tag_dict[key] = [tags[row]]
+                bank.spawn(jidx, cand_feats[r], cand_tags[r])
 
-    return np.array(list(joint_dict.values())).astype(np.float32)
+    return bank.stack()
