@@ -98,18 +98,16 @@ def build_train_step(
     if mesh is None:
         return jax.jit(local_step, donate_argnums=(0,) if donate else ())
 
-    from jax.experimental.shard_map import shard_map
-
     replicated = P()
     sharded = P(DATA_AXIS)
 
     def sharded_step(state, *batch):
-        fn = shard_map(
+        fn = jax.shard_map(
             local_step,
             mesh=mesh,
             in_specs=(replicated,) + (sharded,) * len(batch),
             out_specs=(replicated, replicated),
-            check_rep=False,
+            check_vma=False,
         )
         return fn(state, *batch)
 

@@ -55,19 +55,19 @@ def load_pretrained_backbone(
     TrainState-like dict or a raw variables dict. Copies the ``backbone``
     subtree where array shapes match, leaving the rest untouched.
     """
-    if path.startswith(("http://", "https://")):
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    elif path.startswith(("http://", "https://")):
         from .download import DownLoad
 
         path = DownLoad().download_url(path, path="./cache/pretrained")
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"pretrained backbone checkpoint not found: {path!r}"
+        )
 
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
-
-    source = raw.get("params", raw)
-    if backbone_key in source:
-        src_backbone = source[backbone_key]
-    else:
-        src_backbone = source
 
     def merge(dst, src):
         out = {}
@@ -90,10 +90,26 @@ def load_pretrained_backbone(
         return out, n_loaded
 
     new_vars = dict(variables)
-    params = dict(new_vars["params"])
-    if backbone_key in params:
-        merged, n = merge(params[backbone_key], src_backbone)
-        params[backbone_key] = merged
-        logging.info("Loaded %d pretrained backbone tensors from %s", n, path)
-    new_vars["params"] = params
+    n_total = 0
+    # params + BN moving stats, like the reference's non-strict
+    # load_param_into_net (models/backbones/utils.py:40-42)
+    for coll in ("params", "batch_stats"):
+        if coll not in new_vars:
+            continue
+        src_coll = raw.get(coll, raw if coll == "params" else None)
+        if not isinstance(src_coll, dict):
+            continue
+        src_backbone = src_coll.get(backbone_key, src_coll)
+        dst_coll = dict(new_vars[coll])
+        if backbone_key in dst_coll and isinstance(src_backbone, dict):
+            merged, n = merge(dst_coll[backbone_key], src_backbone)
+            dst_coll[backbone_key] = merged
+            n_total += n
+        new_vars[coll] = dst_coll
+    if n_total == 0:
+        logging.warning("No pretrained backbone tensors matched from %s", path)
+    else:
+        logging.info(
+            "Loaded %d pretrained backbone tensors from %s", n_total, path
+        )
     return new_vars

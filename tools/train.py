@@ -177,9 +177,17 @@ def train(args) -> None:
     rng = jax.random.PRNGKey(getattr(args, "seed", 0) or 0)
     variables = net.init(rng, dummy, train=False)
 
+    # URL or local path; load_pretrained_backbone resolves either
+    # (ref models/backbones/utils.py:10-42)
     pretrained_path = getattr(args, "backbone_ckpt_url", "") or ""
-    if getattr(args, "backbone_pretrained", False) and os.path.isfile(pretrained_path):
-        variables = load_pretrained_backbone(pretrained_path, variables)
+    if getattr(args, "backbone_pretrained", False):
+        if pretrained_path:
+            variables = load_pretrained_backbone(pretrained_path, variables)
+        else:
+            logging.warning(
+                "backbone_pretrained=True but backbone_ckpt_url is empty — "
+                "training from scratch"
+            )
 
     loss = create_loss(args.loss, **(getattr(args, "loss_setting", None) or {}))
     net_with_loss = create_network_with_loss(
