@@ -6,6 +6,16 @@ Drop-in replacement for ``pycocotools.cocoeval.COCOeval(..., "keypoints")``
 published COCO keypoint-evaluation protocol: OKS matching at IoU thresholds
 0.50:0.05:0.95, areas {all, medium, large}, maxDets=20, with the standard
 101-point interpolated AP accumulation.
+
+Provenance / license note: pycocotools is not installable in this
+environment, so the evaluation protocol is re-implemented here from the
+public COCO API (https://github.com/cocodataset/cocoapi,
+pycocotools/cocoeval.py, (c) Piotr Dollar & Tsung-Yi Lin, BSD-2-Clause).
+Method and variable names (``computeOks``/``evaluateImg``/``accumulate``,
+``dtm``/``gtm``/``dtIg``...) intentionally mirror that API so the protocol
+can be audited line-by-line against the canonical implementation; a C++ fast
+path for the OKS inner loops lives in csrc/coco_native.cpp and is
+parity-tested against the numpy path in tests/utils/test_native_parity.py.
 """
 from collections import defaultdict
 from typing import Dict, List, Optional

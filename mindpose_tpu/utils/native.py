@@ -12,7 +12,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["get_native", "native_available"]
+__all__ = ["get_native", "native_available", "set_native_enabled"]
 
 _LIB_NAME = "_coco_native.so"
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "coco_native.cpp")
@@ -20,6 +20,15 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), _LIB_NAME)
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+# MINDPOSE_NATIVE=0 forces the pure-numpy paths (also used by the
+# native-vs-numpy parity tests)
+_enabled = os.environ.get("MINDPOSE_NATIVE", "1") != "0"
+
+
+def set_native_enabled(flag: bool) -> None:
+    """Toggle the native fast path at runtime (numpy fallback when off)."""
+    global _enabled
+    _enabled = bool(flag)
 
 
 def _build() -> bool:
@@ -40,6 +49,8 @@ def _build() -> bool:
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
+    if not _enabled:
+        return None
     if _tried:
         return _lib
     _tried = True
