@@ -86,9 +86,20 @@ def create_pipeline(
         transforms, is_train=is_train, config=config
     )
 
-    if method in {"bottomup"} and not is_train:
-        logging.info("Set batch_size = 1 for `%s` evaluation method.", method)
-        batch_size = 1
+    if method in {"bottomup"} and not is_train and batch_size != 1:
+        # variable per-image sizes can't batch (the reference's blanket rule,
+        # data_factory.py:143-145) — but with a pad-to-max transform in the
+        # pipeline all images share one static shape and batched device
+        # decode is safe (and much faster; one compile, full MXU batches)
+        names = [
+            t if isinstance(t, str) else next(iter(t)) for t in transforms
+        ]
+        if "bottomup_pad" not in names:
+            logging.info(
+                "Set batch_size = 1 for `%s` evaluation (no bottomup_pad "
+                "transform -> variable image sizes).", method,
+            )
+            batch_size = 1
 
     return DataLoader(
         dataset=bundle["dataset"],

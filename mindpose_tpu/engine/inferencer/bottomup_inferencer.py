@@ -20,8 +20,8 @@ from .inferencer import Inferencer
 @register("inferencer", extra_name="bottomup_heatmap_ae")
 class BottomUpHeatMapAEInferencer(Inferencer):
     def __init__(self, net, variables=None, config=None, progress_bar=False,
-                 decoder=None):
-        super().__init__(net, variables=variables, config=config)
+                 decoder=None, mesh=None):
+        super().__init__(net, variables=variables, config=config, mesh=mesh)
         self.progress_bar = progress_bar
         self.decoder = decoder if decoder is not None else net.decoder
         if self._inference_cfg["hflip_tta"] and not self._inference_cfg[
@@ -81,13 +81,20 @@ class BottomUpHeatMapAEInferencer(Inferencer):
         if self._jit_forward is None:
             self._jit_forward = self._build_forward()
 
+        batch_size = self._compiled_batch(getattr(dataset, "batch_size", None))
         outputs: List[Dict[str, Any]] = []
         for batch in dataset:
-            val_k, tag_k, ind_k, heatmap, tagging_heatmap = self._jit_forward(
-                self.variables,
-                jnp.asarray(batch["image"]),
-                jnp.asarray(batch["mask"]),
-            )
+            n = len(batch["image"])
+            image = np.asarray(batch["image"])
+            mask = np.asarray(batch["mask"])
+            if batch_size and n < batch_size:
+                pad = batch_size - n
+                image = np.concatenate([image, np.repeat(image[-1:], pad, 0)])
+                mask = np.concatenate([mask, np.repeat(mask[-1:], pad, 0)])
+
+            out = self._jit_forward(self.variables, *self._shard_inputs(image, mask))
+            # trim padding before the (host) grouping pass
+            val_k, tag_k, ind_k, heatmap, tagging_heatmap = (x[:n] for x in out)
             preds, scores = self._parse(val_k, tag_k, ind_k, heatmap, tagging_heatmap)
 
             center = np.asarray(batch["center"], np.float32)

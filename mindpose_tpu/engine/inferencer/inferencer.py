@@ -3,6 +3,10 @@
 Parity: /root/reference/mindpose/engine/inferencer/inferencer.py:9-67. Since
 networks are functional, the inferencer holds (EvalNet wrapper, variables)
 and jits the device portion once; iteration is over the framework DataLoader.
+
+Beyond the reference (which evaluates on rank 0 with the other chips idle,
+callbacks/eval_callback.py:136-153): pass ``mesh`` to shard the eval batch
+over the mesh's data axis so inference fans out across all devices.
 """
 import logging
 from typing import Any, Dict, List, Optional
@@ -16,11 +20,41 @@ class Inferencer:
         net: EvalNet,
         variables: Any = None,
         config: Optional[Dict[str, Any]] = None,
+        mesh: Any = None,
     ) -> None:
         self.net = net
         self.variables = variables
         self.config = config if config else dict()
+        self.mesh = mesh
         self._inference_cfg = self.load_inference_cfg()
+
+    def _data_parallelism(self) -> int:
+        """Devices along the mesh data axis (1 when unsharded)."""
+        if self.mesh is None:
+            return 1
+        from ...parallel.mesh import DATA_AXIS
+
+        return self.mesh.shape[DATA_AXIS]
+
+    def _compiled_batch(self, batch_size: Optional[int]) -> Optional[int]:
+        """Static device batch: batch_size rounded up to a multiple of the
+        data-axis size so XLA can split it evenly across devices."""
+        if not batch_size:
+            return batch_size
+        n = self._data_parallelism()
+        return ((batch_size + n - 1) // n) * n
+
+    def _shard_inputs(self, *arrays):
+        """Place batch arrays sharded over the data axis (no-op sans mesh)."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.mesh is None:
+            return tuple(jnp.asarray(a) for a in arrays)
+        from ...parallel.mesh import data_sharding
+
+        sharding = data_sharding(self.mesh)
+        return tuple(jax.device_put(a, sharding) for a in arrays)
 
     def load_inference_cfg(self) -> Dict[str, Any]:
         raise NotImplementedError("Child class must implement this method.")

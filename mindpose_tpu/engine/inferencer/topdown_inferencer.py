@@ -18,8 +18,8 @@ from .inferencer import Inferencer
 @register("inferencer", extra_name="topdown_heatmap")
 class TopDownHeatMapInferencer(Inferencer):
     def __init__(self, net, variables=None, config=None, progress_bar=False,
-                 decoder=None):
-        super().__init__(net, variables=variables, config=config)
+                 decoder=None, mesh=None):
+        super().__init__(net, variables=variables, config=config, mesh=mesh)
         self.progress_bar = progress_bar
         self.decoder = decoder if decoder is not None else net.decoder
 
@@ -68,7 +68,7 @@ class TopDownHeatMapInferencer(Inferencer):
         if self._jit_forward is None:
             self._jit_forward = self._build_forward()
 
-        batch_size = getattr(dataset, "batch_size", None)
+        batch_size = self._compiled_batch(getattr(dataset, "batch_size", None))
         outputs: List[Dict[str, Any]] = []
         for batch in dataset:
             n = len(batch["bbox_ids"])
@@ -84,8 +84,7 @@ class TopDownHeatMapInferencer(Inferencer):
                 score = np.concatenate([score, np.repeat(score[-1:], pad, 0)])
 
             preds, boxes = self._jit_forward(
-                self.variables, jnp.asarray(image), jnp.asarray(center),
-                jnp.asarray(scale), jnp.asarray(score),
+                self.variables, *self._shard_inputs(image, center, scale, score)
             )
             preds = np.asarray(preds)[:n]
             boxes = np.asarray(boxes)[:n]

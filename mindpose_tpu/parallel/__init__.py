@@ -1,6 +1,7 @@
 from .mesh import (
     create_mesh,
     data_sharding,
+    gather_records,
     init_distributed,
     is_main_process,
     local_device_count,

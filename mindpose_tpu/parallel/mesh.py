@@ -20,6 +20,7 @@ __all__ = [
     "replicated_sharding",
     "local_device_count",
     "is_main_process",
+    "gather_records",
 ]
 
 DATA_AXIS = "data"
@@ -84,3 +85,31 @@ def local_device_count() -> int:
 def is_main_process() -> bool:
     """Rank-0 gating for eval/checkpoint/logging (ref eval_callback.py:99)."""
     return jax.process_index() == 0
+
+
+def gather_records(records: list) -> list:
+    """All-gather a list of JSON-serializable records across processes.
+
+    Enables sharded evaluation on multi-host meshes: each process infers its
+    local shard of the val set, then every process sees the full record list
+    (the evaluator can run redundantly or rank-0-gated). Single-process: a
+    no-op. The payload rides the JAX collective fabric as padded uint8
+    buffers (two allgathers: sizes, then data).
+    """
+    if jax.process_count() == 1:
+        return records
+    import json
+
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(json.dumps(records).encode("utf-8"), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([payload.size], np.int64)
+    ).ravel()
+    buf = np.zeros(int(sizes.max()) if sizes.size else 0, np.uint8)
+    buf[: payload.size] = payload
+    gathered = multihost_utils.process_allgather(buf)  # [P, max_size]
+    merged = []
+    for size, row in zip(sizes, np.atleast_2d(gathered)):
+        merged.extend(json.loads(bytes(row[: int(size)]).decode("utf-8")))
+    return merged

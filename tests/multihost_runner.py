@@ -26,6 +26,7 @@ import numpy as np  # noqa: E402
 
 from mindpose_tpu.parallel import (  # noqa: E402
     create_mesh,
+    gather_records,
     init_distributed,
     is_main_process,
     shard_batch,
@@ -65,6 +66,14 @@ def main():
     # this process's local rows
     for shard in global_arr.addressable_shards:
         np.testing.assert_allclose(np.asarray(shard.data), float(rank))
+
+    # --- gather_records: sharded-eval record merge across processes ---
+    local_records = [
+        {"pred": [float(rank)] * 3, "bbox_id": rank * 10 + i} for i in range(3)
+    ]
+    merged = gather_records(local_records)
+    assert len(merged) == 3 * nprocs, merged
+    assert sorted(r["bbox_id"] for r in merged) == [0, 1, 2, 10, 11, 12]
 
     print(f"MULTIHOST_OK rank={rank}")
 

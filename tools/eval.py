@@ -88,11 +88,19 @@ def evaluate(args):
     eval_net = create_eval_network(
         net, decoder, output_raw=args.eval_setting.get("has_heatmap_output", True)
     )
+    # fan inference out across all local devices (sharded_eval=False for
+    # the reference's single-device eval behavior)
+    mesh = None
+    if jax.device_count() > 1 and args.eval_setting.get("sharded_eval", True):
+        from mindpose_tpu.parallel import create_mesh
+
+        mesh = create_mesh()
     inferencer = create_inferencer(
         eval_net,
         name=args.inference_method,
         config=args.eval_setting,
         dataset_config=args.dataset_setting,
+        mesh=mesh,
     )
     evaluator = create_evaluator(
         args.val_label,

@@ -229,11 +229,15 @@ def train(args) -> None:
         eval_net = create_eval_network(
             net, decoder, output_raw=args.eval_setting.get("has_heatmap_output", True)
         )
+        # shard val inference over the mesh (beyond ref: their eval idles
+        # all but rank 0, eval_callback.py:136-153); sharded_eval=False
+        # restores the single-device behavior
         inferencer = create_inferencer(
             eval_net,
             name=args.inference_method,
             config=args.eval_setting,
             dataset_config=args.dataset_setting,
+            mesh=mesh if args.eval_setting.get("sharded_eval", True) else None,
         )
         evaluator = create_evaluator(
             args.val_label,
