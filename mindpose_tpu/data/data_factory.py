@@ -61,6 +61,7 @@ def create_pipeline(
     config: Optional[Dict[str, Any]] = None,
     seed: int = 0,
     final_columns: Optional[List[str]] = None,
+    image_bucket: Optional[int] = None,
 ) -> DataLoader:
     """Build the transform pipeline and return a batched DataLoader.
 
@@ -114,6 +115,7 @@ def create_pipeline(
         device_num=bundle.get("device_num"),
         rank_id=bundle.get("rank_id"),
         seed=seed,
+        image_bucket=image_bucket,
     )
 
 

@@ -1,28 +1,39 @@
 """On-device input pipeline: move normalize + target encode into the step.
 
 The reference renders Gaussian targets and normalizes images in CPU worker
-processes (HOT LOOP #1, SURVEY.md §3.1). With this path the host workers stop
-at the affine crop; raw uint8-range crops and post-affine keypoints ship to
-the device, where normalization and the full [N, H, W, K] Gaussian
-rasterization fuse into the jitted train step (ops/image.py, ops/target.py —
-bit-parity with the host encode is covered by tests/data/test_device_ops.py).
+processes (HOT LOOP #1, SURVEY.md §3.1). Two levels:
 
-Enable with ``device_pipeline: True`` in a top-down config.
+- ``device_pipeline: true`` — host workers stop at the affine crop; raw
+  uint8-range crops and post-affine keypoints ship to the device, where
+  normalization and the full [N, H, W, K] Gaussian rasterization fuse into
+  the jitted train step (ops/image.py, ops/target.py — bit-parity with the
+  host encode is covered by tests/data/test_device_ops.py).
+
+- ``device_pipeline: full`` — host workers do NO pixel work beyond JPEG
+  decode: the affine (and any deferred hflip) is emitted as a 2x3 matrix
+  (topdown_affine_matrix transform), whole uint8 frames ship zero-padded to
+  size buckets (loader ``image_bucket``), and warp + normalize + encode all
+  fuse into the step (ops/image.affine_warp). Replaces the reference's cv2
+  worker pool entirely (topdown_transform.py:217,248).
 """
 from typing import Any, Callable, Dict, List, Tuple
 
 import jax.numpy as jnp
 
-from ..ops.image import normalize_image
+from ..ops.image import affine_warp, normalize_image
 from ..ops.target import generate_topdown_targets
 
 __all__ = [
     "DEVICE_FINAL_COLUMNS",
+    "DEVICE_FULL_FINAL_COLUMNS",
     "strip_host_target_transform",
+    "to_matrix_transforms",
     "build_topdown_preprocess",
+    "build_topdown_full_preprocess",
 ]
 
 DEVICE_FINAL_COLUMNS = ["image", "keypoints"]
+DEVICE_FULL_FINAL_COLUMNS = ["image", "warp_mat", "keypoints"]
 
 
 def strip_host_target_transform(
@@ -63,5 +74,55 @@ def build_topdown_preprocess(
             use_udp=use_udp,
         )
         return image, target, weight
+
+    return preprocess
+
+
+def to_matrix_transforms(transforms: List[Any]) -> List[Any]:
+    """Rewrite a host top-down transform list for the full device pipeline:
+    topdown_affine -> topdown_affine_matrix (same kwargs) and the horizontal
+    flip defers its mirror into the warp matrix. Geometry-only transforms
+    (box_to_center_scale, halfbody, scale_rotation) pass through unchanged.
+    """
+    out: List[Any] = []
+    for t in transforms:
+        name = t if isinstance(t, str) else next(iter(t))
+        kwargs = dict() if isinstance(t, str) else dict(next(iter(t.values())) or {})
+        if name == "topdown_affine":
+            out.append({"topdown_affine_matrix": kwargs})
+        elif name == "topdown_horizontal_random_flip":
+            kwargs["defer_to_warp"] = True
+            out.append({"topdown_horizontal_random_flip": kwargs})
+        else:
+            out.append(t)
+    return out
+
+
+def build_topdown_full_preprocess(
+    image_size,
+    heatmap_size,
+    normalize_mean,
+    normalize_std,
+    sigma: float = 2.0,
+    use_udp: bool = False,
+) -> Callable:
+    """Preprocess closure for build_train_step in ``device_pipeline: full``
+    mode: (padded uint8 frames, warp matrices, post-affine keypoints) ->
+    (warped normalized crops, target, target_weight). The warp, normalize
+    and Gaussian rasterization fuse into the jitted step."""
+    mean = jnp.asarray(normalize_mean, jnp.float32)
+    std = jnp.asarray(normalize_std, jnp.float32)
+    hm = (int(heatmap_size[0]), int(heatmap_size[1]))
+    im = (int(image_size[0]), int(image_size[1]))
+    out_hw = (int(image_size[1]), int(image_size[0]))  # (H, W)
+
+    def preprocess(frames, warp_mats, keypoints):
+        crops = affine_warp(frames, warp_mats, out_hw)
+        crops = normalize_image(crops, mean, std)
+        target, weight = generate_topdown_targets(
+            keypoints, heatmap_size=hm, image_size=im, sigma=sigma,
+            use_udp=use_udp,
+        )
+        return crops, target, weight
 
     return preprocess

@@ -84,6 +84,7 @@ class DataLoader:
         seed: int = 0,
         prefetch_batches: int = 2,
         worker_mode: str = "thread",
+        image_bucket: Optional[int] = None,
     ) -> None:
         self.dataset = dataset
         self.transforms = list(transforms)
@@ -100,6 +101,11 @@ class DataLoader:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self.worker_mode = worker_mode
+        # full device pipeline: variable-size source frames are zero-padded
+        # to the batch max rounded up to this multiple (bounds the number of
+        # distinct compiled shapes; zero padding is warp-neutral since the
+        # device warp zero-fills out-of-source samples anyway)
+        self.image_bucket = image_bucket
         self.epoch = 0
 
         self._indices = np.arange(len(dataset))[self.rank_id :: self.device_num]
@@ -132,9 +138,23 @@ class DataLoader:
             vals = [s[col] for s in states]
             if isinstance(vals[0], str):
                 batch[col] = np.array(vals, dtype=object)
+            elif col == "image" and self.image_bucket:
+                batch[col] = self._pad_to_bucket([np.asarray(v) for v in vals])
             else:
                 batch[col] = np.stack([np.asarray(v) for v in vals])
         return batch
+
+    def _pad_to_bucket(self, images: List[np.ndarray]) -> np.ndarray:
+        b = self.image_bucket
+        max_h = max(im.shape[0] for im in images)
+        max_w = max(im.shape[1] for im in images)
+        bh = ((max_h + b - 1) // b) * b
+        bw = ((max_w + b - 1) // b) * b
+        out = np.zeros((len(images), bh, bw) + images[0].shape[2:],
+                       images[0].dtype)
+        for i, im in enumerate(images):
+            out[i, : im.shape[0], : im.shape[1]] = im
+        return out
 
     def _get_process_pool(self):
         if self._pool is None:

@@ -14,10 +14,12 @@ from ...register import register
 from .transform import Transform
 from .utils import (
     affine_transform,
+    compose_affine,
     fliplr_joints,
     flip_index_from_pairs,
     get_affine_transform,
     get_warp_matrix,
+    hflip_matrix,
     warp_affine_joints,
 )
 
@@ -25,6 +27,7 @@ __all__ = [
     "TopDownTransform",
     "TopDownBoxToCenterScale",
     "TopDownAffine",
+    "TopDownAffineMatrix",
     "TopDownGenerateTarget",
     "TopDownHorizontalRandomFlip",
     "TopDownHalfBodyTransform",
@@ -137,6 +140,54 @@ class TopDownAffine(TopDownTransform):
         return out
 
 
+@register("transform", extra_name="topdown_affine_matrix")
+class TopDownAffineMatrix(TopDownAffine):
+    """Device-pipeline variant of TopDownAffine: compute the warp matrix and
+    map the keypoints, but leave the pixels to the on-device warp
+    (ops/image.affine_warp). A deferred horizontal flip (state["hflip"]) is
+    folded into the matrix so the host never touches pixel data.
+    """
+
+    def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        image_size = self._transform_cfg["image_size"]
+        pixel_std = self._transform_cfg["pixel_std"]
+        rotation = state.get("rotation", 0.0)
+
+        if self.use_udp:
+            trans = get_warp_matrix(
+                rotation,
+                state["center"] * 2.0,
+                image_size - 1.0,
+                state["scale"] * pixel_std,
+            )
+        else:
+            trans = get_affine_transform(
+                state["center"],
+                state["scale"],
+                rotation,
+                image_size,
+                pixel_std=pixel_std,
+            )
+
+        out: Dict[str, Any] = dict()
+        if "keypoints" in state:
+            keypoints = state["keypoints"].copy()
+            if self.use_udp:
+                keypoints[:, 0:2] = warp_affine_joints(keypoints[:, 0:2], trans)
+            else:
+                for i in range(keypoints.shape[0]):
+                    if keypoints[i, 2] > 0.0:
+                        keypoints[i, 0:2] = affine_transform(keypoints[i, 0:2], trans)
+            out["keypoints"] = keypoints
+
+        if state.get("hflip", False):
+            # keypoints/center are already in flipped coordinates; the warp
+            # must first mirror the original frame
+            trans = compose_affine(trans, hflip_matrix(state["image"].shape[1]))
+        out["warp_mat"] = np.asarray(trans, np.float32)
+        return out
+
+
 @register("transform", extra_name="topdown_generate_target")
 class TopDownGenerateTarget(TopDownTransform):
     """Rasterize per-joint Gaussian heatmaps (HWK layout) + target weights.
@@ -235,9 +286,13 @@ class TopDownHorizontalRandomFlip(TopDownTransform):
         is_train: bool = True,
         config: Optional[Dict[str, Any]] = None,
         flip_prob: float = 0.5,
+        defer_to_warp: bool = False,
     ) -> None:
         super().__init__(is_train=is_train, config=config)
         self.flip_prob = flip_prob
+        # device pipeline: keep pixels untouched, flag the flip so
+        # TopDownAffineMatrix folds the mirror into the warp matrix
+        self.defer_to_warp = defer_to_warp
 
     def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
         image = state["image"]
@@ -245,12 +300,15 @@ class TopDownHorizontalRandomFlip(TopDownTransform):
         center = state["center"]
 
         if np.random.rand() <= self.flip_prob:
-            image = cv2.flip(image, 1)
+            if not self.defer_to_warp:
+                image = cv2.flip(image, 1)
             keypoints = fliplr_joints(
                 keypoints, image.shape[1], flip_index=self._transform_cfg["flip_index"]
             )
             center = center.copy()
             center[0] = image.shape[1] - center[0]
+            if self.defer_to_warp:
+                return dict(keypoints=keypoints, center=center, hflip=True)
         return dict(image=image, keypoints=keypoints, center=center)
 
 

@@ -106,6 +106,18 @@ def affine_transform(pt: Sequence[float], trans_mat: np.ndarray) -> np.ndarray:
     return np.asarray(trans_mat) @ np.array([pt[0], pt[1], 1.0])
 
 
+def compose_affine(outer: np.ndarray, inner: np.ndarray) -> np.ndarray:
+    """2x3 composition: (outer o inner)(p) = outer(inner(p))."""
+    o = np.vstack([np.asarray(outer, np.float64), [0.0, 0.0, 1.0]])
+    i = np.vstack([np.asarray(inner, np.float64), [0.0, 0.0, 1.0]])
+    return (o @ i)[:2]
+
+
+def hflip_matrix(width: float) -> np.ndarray:
+    """2x3 matrix for horizontal mirroring: x -> width - 1 - x."""
+    return np.array([[-1.0, 0.0, width - 1.0], [0.0, 1.0, 0.0]], np.float64)
+
+
 def get_warp_matrix(
     theta: float,
     size_input: np.ndarray,

@@ -39,6 +39,13 @@ def generate_topdown_targets(
     w, h = heatmap_size
     iw, ih = image_size
     tmp_size = sigma * 3.0
+    # the reference stamps a size x size kernel whose peak sits at index
+    # size//2; the stamped window starts at ul = int(mu - tmp_size)
+    # (python int() = truncation toward zero). For non-integer tmp_size or
+    # negative ul this is NOT symmetric around mu — the effective Gaussian
+    # center in heatmap coords is ul + size//2, which we reproduce exactly.
+    size = int(2 * tmp_size + 1)
+    k_center = size // 2
 
     kx = keypoints[..., 0]
     ky = keypoints[..., 1]
@@ -49,26 +56,28 @@ def generate_topdown_targets(
         stride_y = (ih - 1.0) / (h - 1.0)
         mu_x_ac = kx / stride_x
         mu_y_ac = ky / stride_y
-        # the reference uses python int() = truncation toward zero, which
-        # differs from floor for negative (out-of-heatmap) coordinates
         mu_x = jnp.trunc(mu_x_ac + 0.5).astype(jnp.int32)
         mu_y = jnp.trunc(mu_y_ac + 0.5).astype(jnp.int32)
-        cx, cy = mu_x_ac, mu_y_ac  # sub-pixel-centered kernel
+        # UDP kernel peak is sub-pixel-shifted by (mu_ac - mu)
+        frac_x, frac_y = mu_x_ac - mu_x, mu_y_ac - mu_y
     else:
         stride_x = iw / w
         stride_y = ih / h
         # numpy round() is banker's rounding; jnp.round matches
         mu_x = jnp.round(kx / stride_x).astype(jnp.int32)
         mu_y = jnp.round(ky / stride_y).astype(jnp.int32)
-        cx, cy = mu_x.astype(jnp.float32), mu_y.astype(jnp.float32)
+        frac_x = frac_y = 0.0
 
-    # OOB check identical to the reference: window entirely outside -> weight 0
-    ul_x = mu_x - tmp_size
-    ul_y = mu_y - tmp_size
-    br_x = mu_x + tmp_size + 1
-    br_y = mu_y + tmp_size + 1
+    # window bounds, truncated toward zero like the reference's int()
+    ul_x = jnp.trunc(mu_x - tmp_size).astype(jnp.int32)
+    ul_y = jnp.trunc(mu_y - tmp_size).astype(jnp.int32)
+    br_x = jnp.trunc(mu_x + tmp_size + 1).astype(jnp.int32)
+    br_y = jnp.trunc(mu_y + tmp_size + 1).astype(jnp.int32)
     in_bounds = ~((ul_x >= w) | (ul_y >= h) | (br_x < 0) | (br_y < 0))
     weight = vis * in_bounds.astype(jnp.float32)  # [N, K]
+
+    cx = ul_x.astype(jnp.float32) + k_center + frac_x  # effective center
+    cy = ul_y.astype(jnp.float32) + k_center + frac_y
 
     xs = jnp.arange(w, dtype=jnp.float32)[None, :, None]  # [1, W, 1]
     ys = jnp.arange(h, dtype=jnp.float32)[:, None, None]  # [H, 1, 1]
@@ -79,13 +88,12 @@ def generate_topdown_targets(
         -((xs[None] - cx_b) ** 2 + (ys[None] - cy_b) ** 2) / (2.0 * sigma**2)
     )  # [N, H, W, K]
 
-    # 3-sigma window cutoff around the integer center (the reference only
-    # stamps the (2*3s+1)^2 window)
-    mu_x_b = mu_x[:, None, None, :].astype(jnp.float32)
-    mu_y_b = mu_y[:, None, None, :].astype(jnp.float32)
+    # only the [ul, br) window is stamped
     win = (
-        (jnp.abs(xs[None] - mu_x_b) <= tmp_size)
-        & (jnp.abs(ys[None] - mu_y_b) <= tmp_size)
+        (xs[None] >= ul_x[:, None, None, :])
+        & (xs[None] < br_x[:, None, None, :])
+        & (ys[None] >= ul_y[:, None, None, :])
+        & (ys[None] < br_y[:, None, None, :])
     )
     active = (weight > 0.5)[:, None, None, :]
     target = jnp.where(win & active, g, 0.0)

@@ -57,9 +57,12 @@ def test_normalize_image():
 
 
 @pytest.mark.parametrize("use_udp", [False, True])
-def test_device_target_encode_matches_host(use_udp):
+# non-integer 3*sigma windows hit the reference's asymmetric int() truncation
+# (near-edge kernels shift); the device encode must reproduce that exactly
+@pytest.mark.parametrize("sigma", [1.5, 2.0, 2.5, 3.0])
+def test_device_target_encode_matches_host(use_udp, sigma):
     host = TopDownGenerateTarget(
-        is_train=True, config=CONFIG, sigma=2.0, use_udp=use_udp
+        is_train=True, config=CONFIG, sigma=sigma, use_udp=use_udp
     )
     rng = np.random.RandomState(1)
     n, k = 6, 17
@@ -70,7 +73,6 @@ def test_device_target_encode_matches_host(use_udp):
 
     host_targets = []
     host_weights = []
-    cfg = dict(CONFIG)
     for i in range(n):
         out = host.transform({"keypoints": kpts[i].copy()})
         host_targets.append(out["target"])
@@ -80,7 +82,7 @@ def test_device_target_encode_matches_host(use_udp):
 
     dev_targets, dev_weights = generate_topdown_targets(
         kpts, heatmap_size=(48, 64), image_size=(192, 256),
-        sigma=2.0, use_udp=use_udp,
+        sigma=sigma, use_udp=use_udp,
     )
     np.testing.assert_allclose(np.asarray(dev_weights), host_weights, atol=1e-6)
     np.testing.assert_allclose(

@@ -86,8 +86,12 @@ def train(args) -> None:
         num_workers=getattr(args, "num_parallel_workers", 4),
         config=args.dataset_setting,
     )
-    # on-device pipeline: host stops at the affine crop; normalize + target
-    # rasterization fuse into the jitted train step (data/device_pipeline.py)
+    # on-device pipeline (data/device_pipeline.py):
+    #   true -> host stops at the affine crop; normalize + target encode
+    #           fuse into the jitted train step
+    #   full -> host stops at JPEG decode; warp matrices ship with whole
+    #           uint8 frames (size-bucketed) and warp+normalize+encode all
+    #           run on device
     device_pipeline = (
         getattr(args, "device_pipeline", False)
         and args.pipeline_method == "topdown"
@@ -95,25 +99,40 @@ def train(args) -> None:
     train_transforms = args.train_transforms
     preprocess = None
     final_columns_override = None
+    image_bucket = None
     if device_pipeline:
         from mindpose_tpu.data.device_pipeline import (
             DEVICE_FINAL_COLUMNS,
+            DEVICE_FULL_FINAL_COLUMNS,
+            build_topdown_full_preprocess,
             build_topdown_preprocess,
             strip_host_target_transform,
+            to_matrix_transforms,
         )
 
         train_transforms, target_kwargs = strip_host_target_transform(
             train_transforms
         )
-        preprocess = build_topdown_preprocess(
+        pp_kwargs = dict(
             image_size=args.dataset_setting["image_size"],
             heatmap_size=args.dataset_setting["heatmap_size"],
             normalize_mean=args.normalize_mean,
             normalize_std=args.normalize_std,
             **target_kwargs,
         )
-        final_columns_override = DEVICE_FINAL_COLUMNS
-        logging.info("device input pipeline enabled (on-device encode)")
+        if str(device_pipeline).lower() == "full":
+            train_transforms = to_matrix_transforms(train_transforms)
+            preprocess = build_topdown_full_preprocess(**pp_kwargs)
+            final_columns_override = DEVICE_FULL_FINAL_COLUMNS
+            image_bucket = int(getattr(args, "image_bucket", 64) or 64)
+            logging.info(
+                "device input pipeline: FULL (on-device warp+encode, "
+                "frame bucket %d)", image_bucket,
+            )
+        else:
+            preprocess = build_topdown_preprocess(**pp_kwargs)
+            final_columns_override = DEVICE_FINAL_COLUMNS
+            logging.info("device input pipeline enabled (on-device encode)")
 
     loader_train = create_pipeline(
         dataset_train,
@@ -128,6 +147,7 @@ def train(args) -> None:
         config=args.dataset_setting,
         seed=getattr(args, "seed", 0) or 0,
         final_columns=final_columns_override,
+        image_bucket=image_bucket,
     )
 
     val_while_train = getattr(args, "val_while_train", False)
