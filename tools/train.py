@@ -50,7 +50,15 @@ def train(args) -> None:
     # multi-host: one process per host, bootstrapped by jax.distributed
     # (replaces the reference's mpirun + HCCL stack). On TPU pods the
     # coordinator is auto-detected from the environment.
-    if getattr(args, "distributed_init", False):
+    coord = os.environ.get("MINDPOSE_COORDINATOR")
+    if coord:
+        # explicit bootstrap from tools/launch_pod.py (non-TPU-pod clusters)
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["MINDPOSE_NUM_PROCESSES"]),
+            process_id=int(os.environ["MINDPOSE_PROCESS_ID"]),
+        )
+    elif getattr(args, "distributed_init", False):
         jax.distributed.initialize()
 
     devices = jax.devices()
