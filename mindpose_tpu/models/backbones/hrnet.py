@@ -38,6 +38,7 @@ class HRModule(nn.Module):
     num_channels: Sequence[int]
     multi_scale_output: bool = True
     dtype: Dtype = jnp.float32
+    bn_stats_frac: float = 1.0
 
     @nn.compact
     def __call__(self, xs, train: bool = True):
@@ -51,10 +52,14 @@ class HRModule(nn.Module):
             x = xs[i]
             downsample = self.in_channels[i] != out_ch[i]
             x = block_cls(
-                self.num_channels[i], downsample=downsample, dtype=self.dtype
+                self.num_channels[i], downsample=downsample, dtype=self.dtype,
+                bn_stats_frac=self.bn_stats_frac,
             )(x, train)
             for _ in range(1, self.num_blocks[i]):
-                x = block_cls(self.num_channels[i], dtype=self.dtype)(x, train)
+                x = block_cls(
+                    self.num_channels[i], dtype=self.dtype,
+                    bn_stats_frac=self.bn_stats_frac,
+                )(x, train)
             ys.append(x)
 
         if self.num_branches == 1:
@@ -72,7 +77,7 @@ class HRModule(nn.Module):
                 if j > i:
                     # lower-res -> 1x1 conv + BN + nearest upsample
                     t = conv1x1(out_ch[i], 1, self.dtype)(ys[j])
-                    t = batch_norm(train, self.dtype)(t)
+                    t = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(t)
                     t = resize_nearest(t, h, w)
                 else:
                     # higher-res -> chain of strided 3x3 convs
@@ -81,7 +86,7 @@ class HRModule(nn.Module):
                         last = k == i - j - 1
                         ch = out_ch[i] if last else out_ch[j]
                         t = conv3x3(ch, 2, self.dtype)(t)
-                        t = batch_norm(train, self.dtype)(t)
+                        t = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(t)
                         if not last:
                             t = nn.relu(t)
                 acc = acc + t
@@ -103,6 +108,12 @@ class HRNet(Backbone):
     # HBM-bandwidth-bound on TPU (docs/performance.md), so trading activation
     # storage for recompute FLOPs can raise throughput
     remat: bool = False
+    # space-to-depth stem: mathematically exact, checkpoint-compatible MXU-
+    # dense rewrite of the two stride-2 stem convs (models/backbones/s2d.py)
+    stem_s2d: bool = False
+    # <1.0: train-mode BN statistics from a leading batch slice (a documented
+    # TPU-first deviation, see SubsampledBatchNorm in models/common.py)
+    bn_stats_frac: float = 1.0
 
     @property
     def out_channels(self) -> int:
@@ -115,21 +126,32 @@ class HRNet(Backbone):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        # stem: two strided 3x3 convs -> /4 resolution
-        x = conv3x3(64, 2, self.dtype, name="stem_conv1")(x)
-        x = batch_norm(train, self.dtype, name="stem_bn1")(x)
-        x = nn.relu(x)
-        x = conv3x3(64, 2, self.dtype, name="stem_conv2")(x)
-        x = batch_norm(train, self.dtype, name="stem_bn2")(x)
-        x = nn.relu(x)
+        if self.stem_s2d:
+            from .s2d import s2d_stem_apply
+
+            x = s2d_stem_apply(x, train, self.dtype, self.in_channels,
+                               stats_frac=self.bn_stats_frac)
+        else:
+            # stem: two strided 3x3 convs -> /4 resolution
+            x = conv3x3(64, 2, self.dtype, name="stem_conv1")(x)
+            x = batch_norm(train, self.dtype, name="stem_bn1", stats_frac=self.bn_stats_frac)(x)
+            x = nn.relu(x)
+            x = conv3x3(64, 2, self.dtype, name="stem_conv2")(x)
+            x = batch_norm(train, self.dtype, name="stem_bn2", stats_frac=self.bn_stats_frac)(x)
+            x = nn.relu(x)
 
         # stage 1: bottleneck layer
         cfg1 = self.stage_cfg["stage1"]
         block_cls = _BLOCKS[cfg1["block"]]
         ch1 = cfg1["num_channels"][0]
-        x = block_cls(ch1, downsample=True, dtype=self.dtype)(x, train)
+        x = block_cls(
+            ch1, downsample=True, dtype=self.dtype,
+            bn_stats_frac=self.bn_stats_frac,
+        )(x, train)
         for _ in range(1, cfg1["num_blocks"][0]):
-            x = block_cls(ch1, dtype=self.dtype)(x, train)
+            x = block_cls(
+                ch1, dtype=self.dtype, bn_stats_frac=self.bn_stats_frac
+            )(x, train)
         pre_channels = (ch1 * _expansion(cfg1["block"]),)
 
         xs = [x]
@@ -152,6 +174,7 @@ class HRNet(Backbone):
                     num_channels=tuple(cfg["num_channels"]),
                     multi_scale_output=multi_out or not is_last_module,
                     dtype=self.dtype,
+                    bn_stats_frac=self.bn_stats_frac,
                 )(xs, train)
             pre_channels = cur_channels
 
@@ -165,7 +188,7 @@ class HRNet(Backbone):
             if i < num_pre:
                 if ch != pre_channels[i]:
                     t = conv3x3(ch, 1, self.dtype)(xs[i])
-                    t = batch_norm(train, self.dtype)(t)
+                    t = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(t)
                     out.append(nn.relu(t))
                 else:
                     out.append(xs[i])
@@ -176,7 +199,7 @@ class HRNet(Backbone):
                     last = j == i - num_pre
                     c = ch if last else pre_channels[-1]
                     t = conv3x3(c, 2, self.dtype)(t)
-                    t = batch_norm(train, self.dtype)(t)
+                    t = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(t)
                     t = nn.relu(t)
                 out.append(t)
         return out
@@ -241,7 +264,9 @@ def hrnet_w32(
 ) -> HRNet:
     """HRNet-W32 (parity: /root/reference/mindpose/models/backbones/hrnet.py:617)."""
     return HRNet(stage_cfg=_freeze_cfg(_w_cfg(32)), in_channels=in_channels,
-                 dtype=dtype, remat=bool(kwargs.get("remat", False)))
+                 dtype=dtype, remat=bool(kwargs.get("remat", False)),
+                 stem_s2d=bool(kwargs.get("stem_s2d", False)),
+                 bn_stats_frac=float(kwargs.get("bn_stats_frac", 1.0)))
 
 
 @register("backbone")
@@ -254,4 +279,6 @@ def hrnet_w48(
 ) -> HRNet:
     """HRNet-W48 (parity: /root/reference/mindpose/models/backbones/hrnet.py:669)."""
     return HRNet(stage_cfg=_freeze_cfg(_w_cfg(48)), in_channels=in_channels,
-                 dtype=dtype, remat=bool(kwargs.get("remat", False)))
+                 dtype=dtype, remat=bool(kwargs.get("remat", False)),
+                 stem_s2d=bool(kwargs.get("stem_s2d", False)),
+                 bn_stats_frac=float(kwargs.get("bn_stats_frac", 1.0)))

@@ -28,18 +28,19 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     dtype: Dtype = jnp.float32
     expansion: int = 1
+    bn_stats_frac: float = 1.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         identity = x
         out = conv3x3(self.channels, self.stride, self.dtype)(x)
-        out = batch_norm(train, self.dtype)(out)
+        out = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(out)
         out = nn.relu(out)
         out = conv3x3(self.channels, 1, self.dtype)(out)
-        out = batch_norm(train, self.dtype)(out)
+        out = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(out)
         if self.downsample:
             identity = conv1x1(self.channels, self.stride, self.dtype)(x)
-            identity = batch_norm(train, self.dtype)(identity)
+            identity = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(identity)
         return nn.relu(out + identity)
 
 
@@ -51,21 +52,22 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     dtype: Dtype = jnp.float32
     expansion: int = 4
+    bn_stats_frac: float = 1.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         identity = x
         out = conv1x1(self.channels, 1, self.dtype)(x)
-        out = batch_norm(train, self.dtype)(out)
+        out = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(out)
         out = nn.relu(out)
         out = conv3x3(self.channels, self.stride, self.dtype)(out)
-        out = batch_norm(train, self.dtype)(out)
+        out = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(out)
         out = nn.relu(out)
         out = conv1x1(self.channels * self.expansion, 1, self.dtype)(out)
-        out = batch_norm(train, self.dtype)(out)
+        out = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(out)
         if self.downsample:
             identity = conv1x1(self.channels * self.expansion, self.stride, self.dtype)(x)
-            identity = batch_norm(train, self.dtype)(identity)
+            identity = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(identity)
         return nn.relu(out + identity)
 
 
@@ -75,6 +77,7 @@ class ResNet(Backbone):
     block_counts: Sequence[int] = (3, 4, 6, 3)
     in_channels: int = 3
     dtype: Dtype = jnp.float32
+    bn_stats_frac: float = 1.0
 
     STAGE_CHANNELS = (64, 128, 256, 512)
 
@@ -95,7 +98,7 @@ class ResNet(Backbone):
             kernel_init=conv_kernel_init,
             name="conv1",
         )(x)
-        x = batch_norm(train, self.dtype, name="bn1")(x)
+        x = batch_norm(train, self.dtype, name="bn1", stats_frac=self.bn_stats_frac)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -104,15 +107,23 @@ class ResNet(Backbone):
         ):
             stride = 1 if stage == 0 else 2
             x = Bottleneck(
-                channels, stride=stride, downsample=True, dtype=self.dtype
+                channels, stride=stride, downsample=True, dtype=self.dtype,
+                bn_stats_frac=self.bn_stats_frac,
             )(x, train)
             for _ in range(1, count):
-                x = Bottleneck(channels, dtype=self.dtype)(x, train)
+                x = Bottleneck(
+                    channels, dtype=self.dtype, bn_stats_frac=self.bn_stats_frac
+                )(x, train)
         return x
 
 
 def _resnet(block_counts, in_channels: int, dtype: Dtype, **kwargs: Any) -> ResNet:
-    return ResNet(block_counts=tuple(block_counts), in_channels=in_channels, dtype=dtype)
+    return ResNet(
+        block_counts=tuple(block_counts),
+        in_channels=in_channels,
+        dtype=dtype,
+        bn_stats_frac=float(kwargs.get("bn_stats_frac", 1.0)),
+    )
 
 
 @register("backbone")

@@ -1,0 +1,52 @@
+"""Quick train-step throughput comparison across model/config variants."""
+import argparse, os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax, jax.numpy as jnp, numpy as np
+from mindpose_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
+import mindpose_tpu as mp
+from mindpose_tpu.optim import create_optimizer
+from mindpose_tpu.parallel import build_train_step, create_train_state
+
+
+def bench(backbone_args, B=128, iters=20):
+    net = mp.create_network("hrnet_w32", "hrnet_head", dtype=jnp.bfloat16,
+                            backbone_args=backbone_args)
+    loss = mp.create_loss("joint_mse", use_target_weight=True)
+    nwl = mp.create_network_with_loss(net, loss, has_extra_inputs=True)
+    image = jnp.zeros((1, 256, 192, 3), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), image, train=False)
+    tx = create_optimizer(variables["params"], "adamw", learning_rate=1e-3,
+                          weight_decay=0.05)
+    state = create_train_state(variables, tx)
+    step = build_train_step(nwl, tx, mesh=None)
+    rng = np.random.RandomState(0)
+    x = jax.device_put(rng.rand(B, 256, 192, 3).astype(np.float32))
+    y = jax.device_put(rng.rand(B, 64, 48, 17).astype(np.float32))
+    w = jax.device_put(np.ones((B, 17), np.float32))
+    for _ in range(3):
+        state, lv = step(state, x, y, w)
+    _ = np.asarray(lv)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, lv = step(state, x, y, w)
+    _ = np.asarray(lv)
+    dt = (time.perf_counter() - t0) / iters
+    return dt * 1000, B / dt
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="base,s2d")
+    args = ap.parse_args()
+    cfgs = {
+        "base": {},
+        "s2d": {"stem_s2d": True},
+        "bn4": {"bn_stats_frac": 0.25},
+        "bn8": {"bn_stats_frac": 0.125},
+        "s2d_bn4": {"stem_s2d": True, "bn_stats_frac": 0.25},
+    }
+    for name in args.variants.split(","):
+        ms, ips = bench(cfgs[name])
+        print(f"{name:12s} {ms:7.2f} ms/step   {ips:8.1f} img/s")
