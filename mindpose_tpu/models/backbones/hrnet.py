@@ -39,6 +39,7 @@ class HRModule(nn.Module):
     multi_scale_output: bool = True
     dtype: Dtype = jnp.float32
     bn_stats_frac: float = 1.0
+    bn_grad_stats: str = "exact"
 
     @nn.compact
     def __call__(self, xs, train: bool = True):
@@ -54,11 +55,13 @@ class HRModule(nn.Module):
             x = block_cls(
                 self.num_channels[i], downsample=downsample, dtype=self.dtype,
                 bn_stats_frac=self.bn_stats_frac,
+                bn_grad_stats=self.bn_grad_stats,
             )(x, train)
             for _ in range(1, self.num_blocks[i]):
                 x = block_cls(
                     self.num_channels[i], dtype=self.dtype,
                     bn_stats_frac=self.bn_stats_frac,
+                    bn_grad_stats=self.bn_grad_stats,
                 )(x, train)
             ys.append(x)
 
@@ -77,7 +80,7 @@ class HRModule(nn.Module):
                 if j > i:
                     # lower-res -> 1x1 conv + BN + nearest upsample
                     t = conv1x1(out_ch[i], 1, self.dtype)(ys[j])
-                    t = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(t)
+                    t = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac, grad_stats=self.bn_grad_stats)(t)
                     t = resize_nearest(t, h, w)
                 else:
                     # higher-res -> chain of strided 3x3 convs
@@ -86,7 +89,7 @@ class HRModule(nn.Module):
                         last = k == i - j - 1
                         ch = out_ch[i] if last else out_ch[j]
                         t = conv3x3(ch, 2, self.dtype)(t)
-                        t = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(t)
+                        t = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac, grad_stats=self.bn_grad_stats)(t)
                         if not last:
                             t = nn.relu(t)
                 acc = acc + t
@@ -114,6 +117,7 @@ class HRNet(Backbone):
     # <1.0: train-mode BN statistics from a leading batch slice (a documented
     # TPU-first deviation, see SubsampledBatchNorm in models/common.py)
     bn_stats_frac: float = 1.0
+    bn_grad_stats: str = "exact"
 
     @property
     def out_channels(self) -> int:
@@ -130,14 +134,14 @@ class HRNet(Backbone):
             from .s2d import s2d_stem_apply
 
             x = s2d_stem_apply(x, train, self.dtype, self.in_channels,
-                               stats_frac=self.bn_stats_frac)
+                               stats_frac=self.bn_stats_frac, grad_stats=self.bn_grad_stats)
         else:
             # stem: two strided 3x3 convs -> /4 resolution
             x = conv3x3(64, 2, self.dtype, name="stem_conv1")(x)
-            x = batch_norm(train, self.dtype, name="stem_bn1", stats_frac=self.bn_stats_frac)(x)
+            x = batch_norm(train, self.dtype, name="stem_bn1", stats_frac=self.bn_stats_frac, grad_stats=self.bn_grad_stats)(x)
             x = nn.relu(x)
             x = conv3x3(64, 2, self.dtype, name="stem_conv2")(x)
-            x = batch_norm(train, self.dtype, name="stem_bn2", stats_frac=self.bn_stats_frac)(x)
+            x = batch_norm(train, self.dtype, name="stem_bn2", stats_frac=self.bn_stats_frac, grad_stats=self.bn_grad_stats)(x)
             x = nn.relu(x)
 
         # stage 1: bottleneck layer
@@ -147,10 +151,12 @@ class HRNet(Backbone):
         x = block_cls(
             ch1, downsample=True, dtype=self.dtype,
             bn_stats_frac=self.bn_stats_frac,
+            bn_grad_stats=self.bn_grad_stats,
         )(x, train)
         for _ in range(1, cfg1["num_blocks"][0]):
             x = block_cls(
-                ch1, dtype=self.dtype, bn_stats_frac=self.bn_stats_frac
+                ch1, dtype=self.dtype, bn_stats_frac=self.bn_stats_frac,
+                bn_grad_stats=self.bn_grad_stats,
             )(x, train)
         pre_channels = (ch1 * _expansion(cfg1["block"]),)
 
@@ -175,6 +181,7 @@ class HRNet(Backbone):
                     multi_scale_output=multi_out or not is_last_module,
                     dtype=self.dtype,
                     bn_stats_frac=self.bn_stats_frac,
+                    bn_grad_stats=self.bn_grad_stats,
                 )(xs, train)
             pre_channels = cur_channels
 
@@ -188,7 +195,7 @@ class HRNet(Backbone):
             if i < num_pre:
                 if ch != pre_channels[i]:
                     t = conv3x3(ch, 1, self.dtype)(xs[i])
-                    t = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(t)
+                    t = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac, grad_stats=self.bn_grad_stats)(t)
                     out.append(nn.relu(t))
                 else:
                     out.append(xs[i])
@@ -199,7 +206,7 @@ class HRNet(Backbone):
                     last = j == i - num_pre
                     c = ch if last else pre_channels[-1]
                     t = conv3x3(c, 2, self.dtype)(t)
-                    t = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(t)
+                    t = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac, grad_stats=self.bn_grad_stats)(t)
                     t = nn.relu(t)
                 out.append(t)
         return out
@@ -266,7 +273,8 @@ def hrnet_w32(
     return HRNet(stage_cfg=_freeze_cfg(_w_cfg(32)), in_channels=in_channels,
                  dtype=dtype, remat=bool(kwargs.get("remat", False)),
                  stem_s2d=bool(kwargs.get("stem_s2d", False)),
-                 bn_stats_frac=float(kwargs.get("bn_stats_frac", 1.0)))
+                 bn_stats_frac=float(kwargs.get("bn_stats_frac", 1.0)),
+                 bn_grad_stats=str(kwargs.get("bn_grad_stats", "exact")))
 
 
 @register("backbone")
@@ -281,4 +289,5 @@ def hrnet_w48(
     return HRNet(stage_cfg=_freeze_cfg(_w_cfg(48)), in_channels=in_channels,
                  dtype=dtype, remat=bool(kwargs.get("remat", False)),
                  stem_s2d=bool(kwargs.get("stem_s2d", False)),
-                 bn_stats_frac=float(kwargs.get("bn_stats_frac", 1.0)))
+                 bn_stats_frac=float(kwargs.get("bn_stats_frac", 1.0)),
+                 bn_grad_stats=str(kwargs.get("bn_grad_stats", "exact")))

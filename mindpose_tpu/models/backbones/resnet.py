@@ -29,18 +29,19 @@ class BasicBlock(nn.Module):
     dtype: Dtype = jnp.float32
     expansion: int = 1
     bn_stats_frac: float = 1.0
+    bn_grad_stats: str = "exact"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         identity = x
         out = conv3x3(self.channels, self.stride, self.dtype)(x)
-        out = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(out)
+        out = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac, grad_stats=self.bn_grad_stats)(out)
         out = nn.relu(out)
         out = conv3x3(self.channels, 1, self.dtype)(out)
-        out = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(out)
+        out = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac, grad_stats=self.bn_grad_stats)(out)
         if self.downsample:
             identity = conv1x1(self.channels, self.stride, self.dtype)(x)
-            identity = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(identity)
+            identity = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac, grad_stats=self.bn_grad_stats)(identity)
         return nn.relu(out + identity)
 
 
@@ -53,21 +54,22 @@ class Bottleneck(nn.Module):
     dtype: Dtype = jnp.float32
     expansion: int = 4
     bn_stats_frac: float = 1.0
+    bn_grad_stats: str = "exact"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         identity = x
         out = conv1x1(self.channels, 1, self.dtype)(x)
-        out = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(out)
+        out = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac, grad_stats=self.bn_grad_stats)(out)
         out = nn.relu(out)
         out = conv3x3(self.channels, self.stride, self.dtype)(out)
-        out = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(out)
+        out = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac, grad_stats=self.bn_grad_stats)(out)
         out = nn.relu(out)
         out = conv1x1(self.channels * self.expansion, 1, self.dtype)(out)
-        out = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(out)
+        out = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac, grad_stats=self.bn_grad_stats)(out)
         if self.downsample:
             identity = conv1x1(self.channels * self.expansion, self.stride, self.dtype)(x)
-            identity = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac)(identity)
+            identity = batch_norm(train, self.dtype, stats_frac=self.bn_stats_frac, grad_stats=self.bn_grad_stats)(identity)
         return nn.relu(out + identity)
 
 
@@ -78,6 +80,7 @@ class ResNet(Backbone):
     in_channels: int = 3
     dtype: Dtype = jnp.float32
     bn_stats_frac: float = 1.0
+    bn_grad_stats: str = "exact"
 
     STAGE_CHANNELS = (64, 128, 256, 512)
 
@@ -98,7 +101,7 @@ class ResNet(Backbone):
             kernel_init=conv_kernel_init,
             name="conv1",
         )(x)
-        x = batch_norm(train, self.dtype, name="bn1", stats_frac=self.bn_stats_frac)(x)
+        x = batch_norm(train, self.dtype, name="bn1", stats_frac=self.bn_stats_frac, grad_stats=self.bn_grad_stats)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -109,10 +112,12 @@ class ResNet(Backbone):
             x = Bottleneck(
                 channels, stride=stride, downsample=True, dtype=self.dtype,
                 bn_stats_frac=self.bn_stats_frac,
+                bn_grad_stats=self.bn_grad_stats,
             )(x, train)
             for _ in range(1, count):
                 x = Bottleneck(
-                    channels, dtype=self.dtype, bn_stats_frac=self.bn_stats_frac
+                    channels, dtype=self.dtype, bn_stats_frac=self.bn_stats_frac,
+                    bn_grad_stats=self.bn_grad_stats,
                 )(x, train)
         return x
 
@@ -123,6 +128,7 @@ def _resnet(block_counts, in_channels: int, dtype: Dtype, **kwargs: Any) -> ResN
         in_channels=in_channels,
         dtype=dtype,
         bn_stats_frac=float(kwargs.get("bn_stats_frac", 1.0)),
+        bn_grad_stats=str(kwargs.get("bn_grad_stats", "exact")),
     )
 
 

@@ -135,6 +135,7 @@ class ParityGroupBatchNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
     stats_frac: float = 1.0
+    frozen_grad: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -161,6 +162,9 @@ class ParityGroupBatchNorm(nn.Module):
                 ra_var.value = (
                     self.momentum * ra_var.value + (1.0 - self.momentum) * var
                 )
+            if self.frozen_grad:
+                mean = lax.stop_gradient(mean)
+                var = lax.stop_gradient(var)
         inv = lax.rsqrt(var + self.epsilon) * scale
         mul = jnp.tile(inv, self.parity).astype(self.dtype)
         add = jnp.tile(bias - mean * inv, self.parity).astype(self.dtype)
@@ -176,6 +180,7 @@ def s2d_stem_apply(
     dtype: Dtype,
     in_channels: int,
     stats_frac: float = 1.0,
+    grad_stats: str = "exact",
 ) -> jnp.ndarray:
     """The s2d stem forward. Must be called from inside a parent module's
     compact ``__call__``; creates variables in that scope with the exact
@@ -197,6 +202,7 @@ def s2d_stem_apply(
         use_running_average=not train,
         dtype=dtype,
         stats_frac=stats_frac,
+        frozen_grad=grad_stats == "frozen",
         name="stem_bn1",
     )(y)
     y = nn.relu(y)
@@ -207,5 +213,5 @@ def s2d_stem_apply(
         padding=((1, 0), (1, 0)),
         dimension_numbers=_DIMS,
     )
-    y = batch_norm(train, dtype, name="stem_bn2", stats_frac=stats_frac)(y)
+    y = batch_norm(train, dtype, name="stem_bn2", stats_frac=stats_frac, grad_stats=grad_stats)(y)
     return nn.relu(y)

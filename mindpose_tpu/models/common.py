@@ -54,10 +54,11 @@ def batch_norm(
     dtype: Dtype = jnp.float32,
     name: Optional[str] = None,
     stats_frac: float = 1.0,
+    grad_stats: str = "exact",
 ):
     # momentum 0.9 mirrors the reference's BatchNorm2d default
     # (running = 0.9 * running + 0.1 * batch).
-    if stats_frac >= 1.0:
+    if stats_frac >= 1.0 and grad_stats == "exact":
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -71,20 +72,30 @@ def batch_norm(
         epsilon=1e-5,
         dtype=dtype,
         stats_frac=stats_frac,
+        frozen_grad=grad_stats == "frozen",
         name=name,
     )
 
 
 class SubsampledBatchNorm(nn.Module):
-    """BatchNorm whose batch statistics come from a leading batch slice.
+    """BatchNorm with TPU throughput knobs: subsampled stats, frozen-grad stats.
 
-    TPU-first deviation (documented in docs/divergences.md): computing the
-    train-mode mean/var over ``stats_frac`` of the batch cuts one of BN's
-    three HBM passes to a fraction while remaining an unbiased estimator of
-    the same statistics (at batch 128 x 64x48 spatial, a 1/4 slice is still
-    ~98K samples per channel). Variable structure matches nn.BatchNorm
-    (params: scale/bias, batch_stats: mean/var) so checkpoints interchange
-    with the exact-BN model.
+    Two documented TPU-first deviations (docs/divergences.md), both
+    checkpoint-compatible with nn.BatchNorm (params: scale/bias,
+    batch_stats: mean/var; auto-name "BatchNorm_i"):
+
+    - ``stats_frac < 1``: train-mode mean/var from a leading batch slice —
+      cuts one of BN's three HBM passes to a fraction while remaining an
+      unbiased estimator (at batch 128 x 64x48 spatial, a 1/4 slice is still
+      ~98K samples per channel). Measured slower in-context on TPU (breaks
+      XLA's conv-epilogue fusion) — off by default.
+    - ``frozen_grad``: ``stop_gradient`` on the batch mean/var. The forward
+      pass (and the running stats the eval path uses) is bit-identical to
+      exact BN; only the backward drops the dmean/dvar correction terms,
+      which removes two full-tensor reduction passes per BN layer from the
+      backward HBM traffic (measured -7.3 ms on the HRNet-W32 batch-128
+      train step, docs/performance.md). Training-to-AP parity is validated
+      on the synthetic-COCO benchmark (tests/models/test_frozen_bn.py).
     """
 
     use_running_average: bool = False
@@ -92,6 +103,7 @@ class SubsampledBatchNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
     stats_frac: float = 0.25
+    frozen_grad: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -120,6 +132,9 @@ class SubsampledBatchNorm(nn.Module):
                 ra_var.value = (
                     self.momentum * ra_var.value + (1.0 - self.momentum) * var
                 )
+            if self.frozen_grad:
+                mean = jax.lax.stop_gradient(mean)
+                var = jax.lax.stop_gradient(var)
         import jax.lax as lax
 
         inv = lax.rsqrt(var + self.epsilon) * scale

@@ -32,6 +32,7 @@ class HigherHRNetHead(Head):
     cat_outputs: Sequence[bool] = (True,)
     num_basic_blocks: int = 4
     dtype: Dtype = jnp.float32
+    bn_grad_stats: str = "exact"
 
     def _final_channels(self, level: int) -> int:
         dim_tag = self.num_joints if self.tag_per_joint else 1
@@ -69,10 +70,13 @@ class HigherHRNetHead(Head):
                 dtype=self.dtype,
                 kernel_init=conv_kernel_init,
             )(x)
-            x = batch_norm(train, self.dtype)(x)
+            x = batch_norm(train, self.dtype, grad_stats=self.bn_grad_stats)(x)
             x = nn.relu(x)
             for _ in range(self.num_basic_blocks):
-                x = BasicBlock(self.num_deconv_filters[i], dtype=self.dtype)(x, train)
+                x = BasicBlock(
+                    self.num_deconv_filters[i], dtype=self.dtype,
+                    bn_grad_stats=self.bn_grad_stats,
+                )(x, train)
             y = self._final_conv(self._final_channels(i + 1), f"final_{i + 1}")(x)
             outputs.append(y)
 

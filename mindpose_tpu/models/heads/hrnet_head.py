@@ -20,6 +20,8 @@ class HRNetHead(Head):
     num_joints: int = 17
     final_conv_kernel_size: int = 1
     dtype: Dtype = jnp.float32
+    # accepted for head_setting uniformity; this head has no BatchNorm
+    bn_grad_stats: str = "exact"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:

@@ -28,6 +28,7 @@ class SimpleBaselineHead(Head):
     num_joints: int = 17
     final_conv_kernel_size: int = 1
     dtype: Dtype = jnp.float32
+    bn_grad_stats: str = "exact"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -45,7 +46,7 @@ class SimpleBaselineHead(Head):
                 dtype=self.dtype,
                 kernel_init=conv_kernel_init,
             )(x)
-            x = batch_norm(train, self.dtype)(x)
+            x = batch_norm(train, self.dtype, grad_stats=self.bn_grad_stats)(x)
             x = nn.relu(x)
         k = self.final_conv_kernel_size
         pad = ((1, 1), (1, 1)) if k == 3 else ((0, 0), (0, 0))

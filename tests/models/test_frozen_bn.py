@@ -1,0 +1,119 @@
+"""Frozen-gradient BatchNorm (models/common.py SubsampledBatchNorm.frozen_grad).
+
+The TPU throughput knob `bn_grad_stats: "frozen"` must (a) keep the forward
+pass and running-statistics updates bit-comparable to exact BN, (b) keep the
+variable pytree checkpoint-compatible, and (c) actually stop gradients
+through the batch mean/var (dropping BN backward's dmean/dvar reduction
+passes — the documented -7.3 ms on the HRNet-W32 train step).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mindpose_tpu as mp
+from mindpose_tpu.models.common import SubsampledBatchNorm, batch_norm
+
+
+def test_factory_dispatch():
+    import flax.linen as nn
+
+    assert isinstance(batch_norm(train=True), nn.BatchNorm)
+    bn = batch_norm(train=True, grad_stats="frozen")
+    assert isinstance(bn, SubsampledBatchNorm) and bn.frozen_grad
+    # name-compat: auto-naming must produce "BatchNorm_i" paths
+    assert SubsampledBatchNorm.__name__ == "BatchNorm"
+
+
+def test_forward_and_running_stats_match_exact():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 6, 5, 3).astype(np.float32) * 2.0 + 1.0)
+
+    exact = batch_norm(train=True)
+    frozen = batch_norm(train=True, grad_stats="frozen")
+    v_e = exact.init(jax.random.PRNGKey(0), x)
+    v_f = frozen.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v_e) == jax.tree_util.tree_structure(v_f)
+
+    y_e, s_e = exact.apply(v_e, x, mutable=["batch_stats"])
+    y_f, s_f = frozen.apply(v_f, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_f), atol=2e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(s_e["batch_stats"][k]),
+            np.asarray(s_f["batch_stats"][k]),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+
+
+def test_gradient_stops_at_batch_stats():
+    """d(sum BN(x))/dx: exact BN mean-centers gradients to ~0; frozen BN
+    passes gamma/sigma through — the stats terms must be absent."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(16, 4).astype(np.float32))
+
+    def grad_of(bn):
+        v = bn.init(jax.random.PRNGKey(0), x)
+
+        def loss(x):
+            y, _ = bn.apply(v, x, mutable=["batch_stats"])
+            return jnp.sum(y)
+
+        return jax.grad(loss)(x)
+
+    g_exact = grad_of(batch_norm(train=True))
+    g_frozen = grad_of(batch_norm(train=True, grad_stats="frozen"))
+
+    # exact: sum-loss grads vanish (centering); frozen: gamma/sigma(x) > 0
+    assert float(jnp.abs(g_exact).max()) < 1e-4
+    var = np.var(np.asarray(x), axis=0)
+    expected = 1.0 / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_frozen), np.broadcast_to(expected, x.shape), rtol=1e-4
+    )
+
+
+def test_eval_mode_identical():
+    """use_running_average path ignores frozen_grad entirely."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(4, 3, 3, 5).astype(np.float32))
+    exact = batch_norm(train=False)
+    frozen = batch_norm(train=False, grad_stats="frozen")
+    v = exact.init(jax.random.PRNGKey(0), x)
+    y_e = exact.apply(v, x)
+    y_f = frozen.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_f), atol=2e-6)
+
+
+def test_hrnet_checkpoint_interchange():
+    """A frozen-grad HRNet consumes an exact-BN HRNet checkpoint verbatim."""
+    x = jnp.zeros((1, 64, 48, 3), jnp.float32)
+    exact_net = mp.create_network("hrnet_w32", "hrnet_head", dtype=jnp.float32)
+    frozen_net = mp.create_network(
+        "hrnet_w32",
+        "hrnet_head",
+        dtype=jnp.float32,
+        backbone_args={"bn_grad_stats": "frozen"},
+        head_args={"bn_grad_stats": "frozen"},
+    )
+    v_e = exact_net.init(jax.random.PRNGKey(0), x, train=False)
+    v_f = frozen_net.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v_e) == jax.tree_util.tree_structure(v_f)
+    # run the frozen model with the exact model's variables
+    out = frozen_net.apply(v_e, x, train=False)
+    assert out.shape == (1, 16, 12, 17)
+
+
+def test_simple_baseline_head_accepts_knob():
+    net = mp.create_network(
+        "resnet50",
+        "simple_baseline_head",
+        dtype=jnp.float32,
+        backbone_args={"bn_grad_stats": "frozen"},
+        head_args={"bn_grad_stats": "frozen"},
+    )
+    x = jnp.zeros((1, 64, 48, 3), jnp.float32)
+    v = net.init(jax.random.PRNGKey(0), x, train=False)
+    out, _ = net.apply(v, x, train=True, mutable=["batch_stats"])
+    assert out.shape[-1] == 17
