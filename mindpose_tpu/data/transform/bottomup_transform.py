@@ -325,6 +325,14 @@ class BottomUpGenerateTarget(BottomUpTransform):
         return dict(target=np.ascontiguousarray(target), tag_ind=tag_ind)
 
     def _generate_heatmap_and_tag_ind(self, keypoints, heatmap_size):
+        """Vectorized Gaussian rasterization over all (instance, joint) points.
+
+        Every visible point contributes a size x size sub-pixel-centered
+        Gaussian patch, scatter-maxed into a canvas padded by `size` on each
+        side; cropping the canvas back to [h, w] reproduces the reference's
+        per-patch boundary clipping (ref bottomup_transform.py:463-598)
+        bit-exactly while replacing its per-point Python loop.
+        """
         w, h = heatmap_size
         m, k, _ = keypoints.shape
         if m > self.max_num:
@@ -332,51 +340,70 @@ class BottomUpGenerateTarget(BottomUpTransform):
                 f"Number of instances in one image `{m}` exceeds the maximum "
                 f"num: `{self.max_num}`"
             )
+        tag_per_joint = self._transform_cfg["tag_per_joint"]
+        tag_shape = (self.max_num, k, 2) if tag_per_joint else (self.max_num, 2)
+        tag_ind = np.zeros(tag_shape, dtype=np.int32)
 
+        half = int(self.sigma * 3)
+        size = 2 * half + 1
         target = np.zeros((k, h, w), dtype=np.float32)
-        if self._transform_cfg["tag_per_joint"]:
-            tag_ind = np.zeros((self.max_num, k, 2), dtype=np.int32)
+        if m == 0:
+            return target, tag_ind
+
+        pts = keypoints.reshape(-1, 3)  # keep incoming dtype (ref arithmetic)
+        inst_ids, joint_ids = np.divmod(np.arange(m * k), k)
+        mu = np.rint(pts[:, :2]).astype(np.int64)  # (x, y) rounded half-to-even
+        # same rejection as the reference: keep patches overlapping the map
+        sel = (
+            (pts[:, 2] > 0)
+            & (mu[:, 0] - half < w)
+            & (mu[:, 1] - half < h)
+            & (mu[:, 0] + half + 1 >= 0)
+            & (mu[:, 1] + half + 1 >= 0)
+        )
+        if sel.any():
+            mu_s = mu[sel]
+            pt_s = pts[sel]
+            joint_s = joint_ids[sel]
+            grid = np.arange(size, dtype=np.float32)
+            # patch-local sub-pixel centers, in the keypoints' own dtype and
+            # association order (the ref computes `(x0 + pt[0]) - mu_x`)
+            fx = (half + pt_s[:, 0]) - mu_s[:, 0].astype(pts.dtype)
+            fy = (half + pt_s[:, 1]) - mu_s[:, 1].astype(pts.dtype)
+            dx2 = np.square(grid[None, :] - fx[:, None])  # [n, size]
+            dy2 = np.square(grid[None, :] - fy[:, None])
+            g = np.exp(
+                -(dx2[:, None, :] + dy2[:, :, None]) / (2 * self.sigma**2)
+            )  # [n, size, size]
+
+            hp, wp = h + 2 * size, w + 2 * size
+            canvas = np.zeros((k, hp, wp), dtype=np.float32)
+            yy = (mu_s[:, 1] - half + size)[:, None] + np.arange(size)
+            xx = (mu_s[:, 0] - half + size)[:, None] + np.arange(size)
+            flat = (
+                (joint_s[:, None, None] * hp + yy[:, :, None]) * wp
+                + xx[:, None, :]
+            )
+            np.maximum.at(canvas.reshape(-1), flat.ravel(), g.ravel())
+            target = np.ascontiguousarray(
+                canvas[:, size : size + h, size : size + w]
+            )
+
+        # AE tag indices for points whose rounded center lands inside the map
+        tin = (
+            (pts[:, 2] > 0)
+            & (mu[:, 0] >= 0)
+            & (mu[:, 0] < w)
+            & (mu[:, 1] >= 0)
+            & (mu[:, 1] < h)
+        )
+        flat_pos = (mu[tin, 1] * w + mu[tin, 0]).astype(np.int32)
+        if tag_per_joint:
+            tag_ind[inst_ids[tin], joint_ids[tin], 0] = flat_pos
+            tag_ind[inst_ids[tin], joint_ids[tin], 1] = 1
         else:
-            tag_ind = np.zeros((self.max_num, 2), dtype=np.int32)
-
-        tmp_size = self.sigma * 3
-        size = int(2 * tmp_size + 1)
-        x = np.arange(0, size, 1, np.float32)
-        y = x[:, None]
-        x0 = y0 = size // 2
-
-        for mi, single in enumerate(keypoints):
-            for idx, pt in enumerate(single):
-                if pt[2] <= 0:
-                    continue
-                mu_x, mu_y = round(pt[0]), round(pt[1])
-                ul = [int(mu_x - tmp_size), int(mu_y - tmp_size)]
-                br = [int(mu_x + tmp_size + 1), int(mu_y + tmp_size + 1)]
-                if ul[0] >= w or ul[1] >= h or br[0] < 0 or br[1] < 0:
-                    continue
-
-                x0_p = x0 + pt[0] - mu_x
-                y0_p = y0 + pt[1] - mu_y
-                g = np.exp(
-                    -((x - x0_p) ** 2 + (y - y0_p) ** 2) / (2 * self.sigma**2)
-                )
-
-                g_x = max(0, -ul[0]), min(br[0], w) - ul[0]
-                g_y = max(0, -ul[1]), min(br[1], h) - ul[1]
-                img_x = max(0, ul[0]), min(br[0], w)
-                img_y = max(0, ul[1]), min(br[1], h)
-
-                patch = target[idx, img_y[0] : img_y[1], img_x[0] : img_x[1]]
-                target[idx, img_y[0] : img_y[1], img_x[0] : img_x[1]] = np.maximum(
-                    patch, g[g_y[0] : g_y[1], g_x[0] : g_x[1]]
-                )
-
-                if mu_x >= w or mu_y >= h or mu_x < 0 or mu_y < 0:
-                    continue
-                if self._transform_cfg["tag_per_joint"]:
-                    tag_ind[mi, idx] = (mu_y * w + mu_x, 1)
-                else:
-                    tag_ind[mi] = (mu_y * w + mu_x, 1)
+            tag_ind[inst_ids[tin], 0] = flat_pos
+            tag_ind[inst_ids[tin], 1] = 1
 
         return target, tag_ind
 
