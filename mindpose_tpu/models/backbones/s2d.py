@@ -135,7 +135,7 @@ class ParityGroupBatchNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
     stats_frac: float = 1.0
-    frozen_grad: bool = False
+    grad_stats: str = "exact"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -162,9 +162,10 @@ class ParityGroupBatchNorm(nn.Module):
                 ra_var.value = (
                     self.momentum * ra_var.value + (1.0 - self.momentum) * var
                 )
-            if self.frozen_grad:
-                mean = lax.stop_gradient(mean)
+            if self.grad_stats in ("frozen", "frozen_var"):
                 var = lax.stop_gradient(var)
+            if self.grad_stats == "frozen":
+                mean = lax.stop_gradient(mean)
         inv = lax.rsqrt(var + self.epsilon) * scale
         mul = jnp.tile(inv, self.parity).astype(self.dtype)
         add = jnp.tile(bias - mean * inv, self.parity).astype(self.dtype)
@@ -202,7 +203,7 @@ def s2d_stem_apply(
         use_running_average=not train,
         dtype=dtype,
         stats_frac=stats_frac,
-        frozen_grad=grad_stats == "frozen",
+        grad_stats=grad_stats,
         name="stem_bn1",
     )(y)
     y = nn.relu(y)

@@ -72,7 +72,7 @@ def batch_norm(
         epsilon=1e-5,
         dtype=dtype,
         stats_frac=stats_frac,
-        frozen_grad=grad_stats == "frozen",
+        grad_stats=grad_stats,
         name=name,
     )
 
@@ -89,13 +89,15 @@ class SubsampledBatchNorm(nn.Module):
       unbiased estimator (at batch 128 x 64x48 spatial, a 1/4 slice is still
       ~98K samples per channel). Measured slower in-context on TPU (breaks
       XLA's conv-epilogue fusion) — off by default.
-    - ``frozen_grad``: ``stop_gradient`` on the batch mean/var. The forward
+    - ``grad_stats``: ``stop_gradient`` on the batch statistics. The forward
       pass (and the running stats the eval path uses) is bit-identical to
-      exact BN; only the backward drops the dmean/dvar correction terms,
-      which removes two full-tensor reduction passes per BN layer from the
-      backward HBM traffic (measured -7.3 ms on the HRNet-W32 batch-128
-      train step, docs/performance.md). Training-to-AP parity is validated
-      on the synthetic-COCO benchmark (tests/models/test_frozen_bn.py).
+      exact BN; only the backward changes. ``"frozen_var"`` drops the dvar
+      correction (one fewer full-tensor reduction per BN layer, keeps the
+      stabilizing mean-centering term); ``"frozen"`` drops both dmean and
+      dvar (fastest, measured -10.6 ms on the HRNet-W32 batch-128 train
+      step — but measured to slowly diverge on the synthetic benchmark
+      after ~50 epochs, so it is NOT safe as a default; see
+      docs/performance.md).
     """
 
     use_running_average: bool = False
@@ -103,7 +105,8 @@ class SubsampledBatchNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Dtype = jnp.float32
     stats_frac: float = 0.25
-    frozen_grad: bool = False
+    # "exact" | "frozen_var" (stop-grad var only) | "frozen" (stop-grad both)
+    grad_stats: str = "exact"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -132,9 +135,10 @@ class SubsampledBatchNorm(nn.Module):
                 ra_var.value = (
                     self.momentum * ra_var.value + (1.0 - self.momentum) * var
                 )
-            if self.frozen_grad:
-                mean = jax.lax.stop_gradient(mean)
+            if self.grad_stats in ("frozen", "frozen_var"):
                 var = jax.lax.stop_gradient(var)
+            if self.grad_stats == "frozen":
+                mean = jax.lax.stop_gradient(mean)
         import jax.lax as lax
 
         inv = lax.rsqrt(var + self.epsilon) * scale

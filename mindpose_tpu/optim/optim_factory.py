@@ -11,11 +11,12 @@ needs no loss scaling.
 from typing import Any, Callable, Union
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from ..register import entrypoint, register
 
-__all__ = ["create_optimizer", "decay_mask"]
+__all__ = ["create_optimizer", "decay_mask", "radial_projection_mask", "project_radial"]
 
 
 def decay_mask(params) -> Any:
@@ -26,6 +27,60 @@ def decay_mask(params) -> Any:
         return name not in ("bias", "scale")
 
     return jax.tree_util.tree_map_with_path(is_decay, params)
+
+
+def radial_projection_mask(params) -> Any:
+    """True for conv kernels whose output channels are BatchNorm-normalized.
+
+    In this model zoo that is every 4-D conv kernel in the backbone, plus the
+    heads' BN-followed deconvs; the final heatmap convs (no BN after) must
+    keep their radial degree of freedom.
+    """
+
+    def probe(path, leaf):
+        names = [p.key if hasattr(p, "key") else str(p) for p in path]
+        if getattr(leaf, "ndim", 0) != 4:
+            return False
+        if names and names[0] == "backbone":
+            return True
+        return any("ConvTranspose" in n for n in names)
+
+    return jax.tree_util.tree_map_with_path(probe, params)
+
+
+def project_radial(mask) -> "optax.GradientTransformation":
+    """Remove each masked conv filter's radial gradient component.
+
+    A conv channel feeding (train-mode) BatchNorm is scale-invariant: exact
+    BN backward keeps the gradient orthogonal to the filter, which pins the
+    weight norm and with it the effective learning rate. Frozen-statistics
+    BN (``bn_grad_stats != "exact"``, models/common.py) drops that
+    orthogonality, letting filter norms drift and training slowly diverge —
+    measured on the synthetic benchmark (docs/performance.md). Projecting
+    the raw gradient back onto the per-output-channel tangent space
+    (g <- g - <g,w>/<w,w> w, the AdamP-style projection) restores the
+    invariant for ~1e-3 of the step's FLOPs.
+    """
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("project_radial requires params")
+
+        def proj(g, w, m):
+            if not m:
+                return g
+            axes = tuple(range(g.ndim - 1))
+            dot = jnp.sum(g * w, axis=axes, keepdims=True)
+            nrm = jnp.sum(w * w, axis=axes, keepdims=True)
+            return g - w * (dot / (nrm + 1e-12))
+
+        return jax.tree_util.tree_map(proj, updates, params, mask), state
+
+    return optax.GradientTransformation(init, update)
 
 
 def _register_optimizers():
@@ -80,12 +135,21 @@ def create_optimizer(
     weight_decay: float = 0.0,
     filter_bias_and_bn: bool = True,
     loss_scale: float = 1.0,  # parity knob; no-op with bf16 on TPU
+    radial_projection: bool = False,
     **kwargs: Any,
 ) -> optax.GradientTransformation:
-    """Create an optax optimizer over the model's parameter pytree."""
+    """Create an optax optimizer over the model's parameter pytree.
+
+    ``radial_projection`` prepends :func:`project_radial` — required for
+    stable training with frozen-statistics BN (``bn_grad_stats`` in
+    models/common.py), harmless (a no-op direction-wise) with exact BN.
+    """
     mask = None
     if weight_decay and filter_bias_and_bn:
         mask = decay_mask(params)
-    return entrypoint("optim", name)(
+    tx = entrypoint("optim", name)(
         learning_rate=learning_rate, weight_decay=weight_decay, mask=mask, **kwargs
     )
+    if radial_projection:
+        tx = optax.chain(project_radial(radial_projection_mask(params)), tx)
+    return tx

@@ -19,18 +19,20 @@ def test_factory_dispatch():
     import flax.linen as nn
 
     assert isinstance(batch_norm(train=True), nn.BatchNorm)
-    bn = batch_norm(train=True, grad_stats="frozen")
-    assert isinstance(bn, SubsampledBatchNorm) and bn.frozen_grad
+    for mode in ("frozen", "frozen_var"):
+        bn = batch_norm(train=True, grad_stats=mode)
+        assert isinstance(bn, SubsampledBatchNorm) and bn.grad_stats == mode
     # name-compat: auto-naming must produce "BatchNorm_i" paths
     assert SubsampledBatchNorm.__name__ == "BatchNorm"
 
 
-def test_forward_and_running_stats_match_exact():
+@pytest.mark.parametrize("mode", ["frozen", "frozen_var"])
+def test_forward_and_running_stats_match_exact(mode):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(8, 6, 5, 3).astype(np.float32) * 2.0 + 1.0)
 
     exact = batch_norm(train=True)
-    frozen = batch_norm(train=True, grad_stats="frozen")
+    frozen = batch_norm(train=True, grad_stats=mode)
     v_e = exact.init(jax.random.PRNGKey(0), x)
     v_f = frozen.init(jax.random.PRNGKey(0), x)
     assert jax.tree_util.tree_structure(v_e) == jax.tree_util.tree_structure(v_f)
@@ -72,6 +74,25 @@ def test_gradient_stops_at_batch_stats():
     np.testing.assert_allclose(
         np.asarray(g_frozen), np.broadcast_to(expected, x.shape), rtol=1e-4
     )
+    # frozen_var keeps the mean-centering term: sum-loss grads still vanish
+    g_fv = grad_of(batch_norm(train=True, grad_stats="frozen_var"))
+    assert float(jnp.abs(g_fv).max()) < 1e-4
+
+    # a non-symmetric loss separates all three: frozen_var must drop only
+    # the dvar term
+    def grad_of_sq(bn):
+        v = bn.init(jax.random.PRNGKey(0), x)
+
+        def loss(x):
+            y, _ = bn.apply(v, x, mutable=["batch_stats"])
+            return jnp.sum(jnp.square(y) * jnp.arange(x.shape[0])[:, None])
+
+        return np.asarray(jax.grad(loss)(x))
+
+    ge = grad_of_sq(batch_norm(train=True))
+    gv = grad_of_sq(batch_norm(train=True, grad_stats="frozen_var"))
+    gf = grad_of_sq(batch_norm(train=True, grad_stats="frozen"))
+    assert not np.allclose(ge, gv) and not np.allclose(gv, gf)
 
 
 def test_eval_mode_identical():
