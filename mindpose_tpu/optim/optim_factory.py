@@ -49,17 +49,21 @@ def radial_projection_mask(params) -> Any:
 
 
 def project_radial(mask) -> "optax.GradientTransformation":
-    """Remove each masked conv filter's radial gradient component.
+    """Remove each masked conv filter's radial *update* component.
 
     A conv channel feeding (train-mode) BatchNorm is scale-invariant: exact
     BN backward keeps the gradient orthogonal to the filter, which pins the
-    weight norm and with it the effective learning rate. Frozen-statistics
-    BN (``bn_grad_stats != "exact"``, models/common.py) drops that
-    orthogonality, letting filter norms drift and training slowly diverge —
-    measured on the synthetic benchmark (docs/performance.md). Projecting
-    the raw gradient back onto the per-output-channel tangent space
-    (g <- g - <g,w>/<w,w> w, the AdamP-style projection) restores the
-    invariant for ~1e-3 of the step's FLOPs.
+    weight norm and with it the effective learning rate. Frozen-variance
+    BN (``bn_grad_stats: "frozen_var"``, models/common.py) drops exactly
+    that orthogonality term, letting filter norms drift and training slowly
+    diverge — measured on the synthetic benchmark (docs/performance.md).
+
+    Appended AFTER the optimizer (AdamP-style: arXiv:2006.08217 shows the
+    projection must act on the final update, since Adam's per-coordinate
+    rescaling reintroduces radial components even from tangential
+    gradients), this projects each masked filter's update onto its
+    per-output-channel tangent space (u <- u - <u,w>/<w,w> w), pinning the
+    norm to first order for ~1e-3 of the step's FLOPs.
     """
 
     def init(params):
@@ -140,9 +144,9 @@ def create_optimizer(
 ) -> optax.GradientTransformation:
     """Create an optax optimizer over the model's parameter pytree.
 
-    ``radial_projection`` prepends :func:`project_radial` — required for
-    stable training with frozen-statistics BN (``bn_grad_stats`` in
-    models/common.py), harmless (a no-op direction-wise) with exact BN.
+    ``radial_projection`` appends :func:`project_radial` to the update
+    chain — required for stable training with frozen-statistics BN
+    (``bn_grad_stats`` in models/common.py).
     """
     mask = None
     if weight_decay and filter_bias_and_bn:
@@ -151,5 +155,5 @@ def create_optimizer(
         learning_rate=learning_rate, weight_decay=weight_decay, mask=mask, **kwargs
     )
     if radial_projection:
-        tx = optax.chain(project_radial(radial_projection_mask(params)), tx)
+        tx = optax.chain(tx, project_radial(radial_projection_mask(params)))
     return tx
