@@ -344,8 +344,12 @@ class BottomUpGenerateTarget(BottomUpTransform):
         tag_shape = (self.max_num, k, 2) if tag_per_joint else (self.max_num, 2)
         tag_ind = np.zeros(tag_shape, dtype=np.int32)
 
-        half = int(self.sigma * 3)
-        size = 2 * half + 1
+        # window bookkeeping keeps the reference's float tmp_size semantics
+        # (for fractional sigma*3, int() truncation makes ul/br asymmetric
+        # around zero — replicated below)
+        tmp_size = self.sigma * 3
+        size = int(2 * tmp_size + 1)
+        x0 = size // 2
         target = np.zeros((k, h, w), dtype=np.float32)
         if m == 0:
             return target, tag_ind
@@ -353,40 +357,49 @@ class BottomUpGenerateTarget(BottomUpTransform):
         pts = keypoints.reshape(-1, 3)  # keep incoming dtype (ref arithmetic)
         inst_ids, joint_ids = np.divmod(np.arange(m * k), k)
         mu = np.rint(pts[:, :2]).astype(np.int64)  # (x, y) rounded half-to-even
+        ul = np.trunc(mu - tmp_size).astype(np.int64)  # int() = trunc-toward-0
+        br = np.trunc(mu + tmp_size + 1).astype(np.int64)
         # same rejection as the reference: keep patches overlapping the map
         sel = (
             (pts[:, 2] > 0)
-            & (mu[:, 0] - half < w)
-            & (mu[:, 1] - half < h)
-            & (mu[:, 0] + half + 1 >= 0)
-            & (mu[:, 1] + half + 1 >= 0)
+            & (ul[:, 0] < w)
+            & (ul[:, 1] < h)
+            & (br[:, 0] >= 0)
+            & (br[:, 1] >= 0)
         )
         if sel.any():
             mu_s = mu[sel]
             pt_s = pts[sel]
             joint_s = joint_ids[sel]
+            ul_s = ul[sel]
+            ext = br[sel] - ul_s  # patch extent; < size when trunc is asymmetric
             grid = np.arange(size, dtype=np.float32)
             # patch-local sub-pixel centers, in the keypoints' own dtype and
             # association order (the ref computes `(x0 + pt[0]) - mu_x`)
-            fx = (half + pt_s[:, 0]) - mu_s[:, 0].astype(pts.dtype)
-            fy = (half + pt_s[:, 1]) - mu_s[:, 1].astype(pts.dtype)
+            fx = (x0 + pt_s[:, 0]) - mu_s[:, 0].astype(pts.dtype)
+            fy = (x0 + pt_s[:, 1]) - mu_s[:, 1].astype(pts.dtype)
             dx2 = np.square(grid[None, :] - fx[:, None])  # [n, size]
             dy2 = np.square(grid[None, :] - fy[:, None])
             g = np.exp(
                 -(dx2[:, None, :] + dy2[:, :, None]) / (2 * self.sigma**2)
             )  # [n, size, size]
+            # zero out columns/rows past br-ul (a no-op under scatter-max)
+            idx = np.arange(size)
+            g = g * (idx[None, :] < ext[:, 0, None])[:, None, :]
+            g = g * (idx[None, :] < ext[:, 1, None])[:, :, None]
 
-            hp, wp = h + 2 * size, w + 2 * size
+            pad = size + 2
+            hp, wp = h + 2 * pad, w + 2 * pad
             canvas = np.zeros((k, hp, wp), dtype=np.float32)
-            yy = (mu_s[:, 1] - half + size)[:, None] + np.arange(size)
-            xx = (mu_s[:, 0] - half + size)[:, None] + np.arange(size)
+            yy = (ul_s[:, 1] + pad)[:, None] + idx
+            xx = (ul_s[:, 0] + pad)[:, None] + idx
             flat = (
                 (joint_s[:, None, None] * hp + yy[:, :, None]) * wp
                 + xx[:, None, :]
             )
             np.maximum.at(canvas.reshape(-1), flat.ravel(), g.ravel())
             target = np.ascontiguousarray(
-                canvas[:, size : size + h, size : size + w]
+                canvas[:, pad : pad + h, pad : pad + w]
             )
 
         # AE tag indices for points whose rounded center lands inside the map

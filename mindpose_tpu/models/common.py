@@ -56,6 +56,10 @@ def batch_norm(
     stats_frac: float = 1.0,
     grad_stats: str = "exact",
 ):
+    if grad_stats not in ("exact", "frozen", "frozen_var"):
+        raise ValueError(
+            f"grad_stats must be 'exact', 'frozen_var' or 'frozen', got {grad_stats!r}"
+        )
     # momentum 0.9 mirrors the reference's BatchNorm2d default
     # (running = 0.9 * running + 0.1 * batch).
     if stats_frac >= 1.0 and grad_stats == "exact":
@@ -90,14 +94,17 @@ class SubsampledBatchNorm(nn.Module):
       ~98K samples per channel). Measured slower in-context on TPU (breaks
       XLA's conv-epilogue fusion) — off by default.
     - ``grad_stats``: ``stop_gradient`` on the batch statistics. The forward
-      pass (and the running stats the eval path uses) is bit-identical to
-      exact BN; only the backward changes. ``"frozen_var"`` drops the dvar
-      correction (one fewer full-tensor reduction per BN layer, keeps the
-      stabilizing mean-centering term); ``"frozen"`` drops both dmean and
-      dvar (fastest, measured -10.6 ms on the HRNet-W32 batch-128 train
-      step — but measured to slowly diverge on the synthetic benchmark
-      after ~50 epochs, so it is NOT safe as a default; see
-      docs/performance.md).
+      matches exact BN up to float reassociation (different reduction/affine
+      ordering than flax's nn.BatchNorm; parity asserted at 2e-5 in
+      tests/models/test_frozen_bn.py) — only the backward changes
+      semantically. ``"frozen_var"`` drops the dvar correction (one fewer
+      full-tensor reduction per BN layer, keeps the stabilizing
+      mean-centering term); ``"frozen"`` drops both dmean and dvar (fastest,
+      measured -10.6 ms on the HRNet-W32 batch-128 train step). **Both
+      measured to slowly diverge on the synthetic benchmark** (with or
+      without the optimizer-side radial projection), so neither is safe as
+      a default; they remain as measured experiment knobs. See
+      docs/performance.md for the full stability record.
     """
 
     use_running_average: bool = False

@@ -41,9 +41,15 @@ def radial_projection_mask(params) -> Any:
         names = [p.key if hasattr(p, "key") else str(p) for p in path]
         if getattr(leaf, "ndim", 0) != 4:
             return False
+        # ViT's patch_embed feeds LayerNorm (not per-output-channel
+        # scale-invariant) — never project it
+        if any("patch_embed" in n for n in names):
+            return False
         if names and names[0] == "backbone":
             return True
-        return any("ConvTranspose" in n for n in names)
+        # head-side BN-followed convs: SimpleBaseline/HigherHRNet deconvs
+        # and HigherHRNet's refine BasicBlocks
+        return any("ConvTranspose" in n or "BasicBlock" in n for n in names)
 
     return jax.tree_util.tree_map_with_path(probe, params)
 
@@ -144,16 +150,32 @@ def create_optimizer(
 ) -> optax.GradientTransformation:
     """Create an optax optimizer over the model's parameter pytree.
 
-    ``radial_projection`` appends :func:`project_radial` to the update
-    chain — required for stable training with frozen-statistics BN
-    (``bn_grad_stats`` in models/common.py).
+    ``radial_projection`` inserts :func:`project_radial` into the update
+    chain (an experiment knob from the frozen-statistics BN campaign, see
+    docs/performance.md). Weight decay is applied AFTER the projection —
+    the decay term is purely radial, so projecting it away would silently
+    disable regularization on every masked filter (AdamP, arXiv:2006.08217,
+    keeps decay outside the projection for the same reason). Only the
+    adamw composition supports this ordering; other optimizers reject the
+    knob rather than mis-apply it.
     """
     mask = None
     if weight_decay and filter_bias_and_bn:
         mask = decay_mask(params)
-    tx = entrypoint("optim", name)(
+    if radial_projection:
+        if name not in ("adamw", "AdamWeightDecay"):
+            raise ValueError(
+                f"radial_projection is only supported with adamw (got {name!r})"
+            )
+        proj = project_radial(radial_projection_mask(params))
+        return optax.chain(
+            optax.scale_by_adam(
+                **{k: kwargs[k] for k in ("b1", "b2", "eps") if k in kwargs}
+            ),
+            proj,
+            optax.add_decayed_weights(weight_decay, mask=mask),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+    return entrypoint("optim", name)(
         learning_rate=learning_rate, weight_decay=weight_decay, mask=mask, **kwargs
     )
-    if radial_projection:
-        tx = optax.chain(tx, project_radial(radial_projection_mask(params)))
-    return tx

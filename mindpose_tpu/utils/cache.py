@@ -3,11 +3,16 @@
 First HRNet/Pallas compiles through the remote-compile tunnel cost minutes;
 caching compiled executables on disk makes every subsequent process start
 warm. Called by the CLIs, bench and the graft entry.
+
+Caveat: cached CPU AOT executables bake in the compiling machine's ISA
+features; moving the cache directory between heterogeneous hosts can load a
+mismatched executable (XLA logs a feature-mismatch warning). Set
+MINDPOSE_XLA_CACHE to a host-local path in such setups.
 """
 import logging
 import os
 
-__all__ = ["enable_compilation_cache", "disable_compilation_cache"]
+__all__ = ["enable_compilation_cache"]
 
 _DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "mindpose_tpu_xla")
 
@@ -23,18 +28,3 @@ def enable_compilation_cache(cache_dir: str = None) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception as e:  # cache is an optimization, never fatal
         logging.info("compilation cache disabled: %s", e)
-
-
-def disable_compilation_cache() -> None:
-    """Turn the persistent cache off for this process.
-
-    CPU AOT executables bake in the compiling machine's ISA features and can
-    SIGILL when a cache directory is reused on a different host — the
-    CPU-forced dryrun path disables reuse rather than risk it.
-    """
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", None)
-    except Exception as e:
-        logging.info("compilation cache disable failed: %s", e)

@@ -62,13 +62,15 @@ def loop_oracle(keypoints, heatmap_size, sigma, max_num, tag_per_joint=True):
     return target, tag_ind
 
 
+@pytest.mark.parametrize("sigma", [2.0, 1.5, 2.5, 3.0])
 @pytest.mark.parametrize("dtype", [np.float32, np.float64])
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_vectorized_matches_loop_oracle(seed, dtype):
+def test_vectorized_matches_loop_oracle(seed, dtype, sigma):
     rng = np.random.RandomState(seed)
     m, k = 7, 17
     w, h = 48, 64
     # spread points well past the borders to exercise clipping and rejection
+    # (fractional sigma*3 exercises the reference's trunc-asymmetric windows)
     kps = np.stack(
         [
             rng.uniform(-20, w + 20, (m, k)),
@@ -77,9 +79,9 @@ def test_vectorized_matches_loop_oracle(seed, dtype):
         ],
         axis=-1,
     ).astype(dtype)
-    t = BottomUpGenerateTarget(is_train=True, config=CONFIG, sigma=2.0, max_num=30)
+    t = BottomUpGenerateTarget(is_train=True, config=CONFIG, sigma=sigma, max_num=30)
     got_t, got_i = t._generate_heatmap_and_tag_ind(kps, (w, h))
-    exp_t, exp_i = loop_oracle(kps, (w, h), sigma=2.0, max_num=30)
+    exp_t, exp_i = loop_oracle(kps, (w, h), sigma=sigma, max_num=30)
     np.testing.assert_array_equal(got_t, exp_t)
     np.testing.assert_array_equal(got_i, exp_i)
 

@@ -57,6 +57,59 @@ def test_simple_baseline_head_deconvs_projected():
     assert deconv and all(m is True for m in deconv)
 
 
+def test_higher_hrnet_head_basic_blocks_projected():
+    net = mp.create_network(
+        "hrnet_w32", "higher_hrnet_head", dtype=jnp.float32,
+        head_args={"with_ae_loss": (True, False)},
+    )
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    mask = radial_projection_mask(v["params"])
+    leaves = jax.tree_util.tree_leaves_with_path(mask)
+    blocks = [m for p, m in leaves
+              if any("BasicBlock" in str(getattr(k, "key", k)) for k in p)
+              and str(getattr(p[-1], "key", p[-1])) == "kernel"]
+    finals = [m for p, m in leaves
+              if any("final" in str(getattr(k, "key", k)) for k in p)
+              and str(getattr(p[-1], "key", p[-1])) == "kernel"]
+    assert blocks and all(m is True for m in blocks)
+    assert finals and all(m is False for m in finals)
+
+
+def test_vit_patch_embed_not_projected():
+    net = mp.create_network("vit_s", "simple_baseline_head", dtype=jnp.float32)
+    v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 48, 3)), train=False)
+    mask = radial_projection_mask(v["params"])
+    leaves = jax.tree_util.tree_leaves_with_path(mask)
+    pe = [m for p, m in leaves
+          if any("patch_embed" in str(getattr(k, "key", k)) for k in p)]
+    assert pe and all(m is False for m in pe)
+
+
+def test_weight_decay_survives_projection():
+    """The decay term is radial; it must be applied AFTER the projection
+    (AdamP ordering), not cancelled by it."""
+    w = jnp.ones((1, 1, 2, 4)) * 2.0
+    params = {"backbone": {"Conv_0": {"kernel": w}}}
+    tx = create_optimizer(
+        params, "adamw", learning_rate=0.1, weight_decay=0.5,
+        radial_projection=True,
+    )
+    st = tx.init(params)
+    zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+    up, _ = tx.update(zero_g, st, params)
+    u = np.asarray(up["backbone"]["Conv_0"]["kernel"])
+    # zero gradient -> update must still be -lr*wd*w, not zero
+    np.testing.assert_allclose(u, -0.1 * 0.5 * np.asarray(w), rtol=1e-6)
+
+
+def test_non_adamw_rejects_projection():
+    import pytest as _pytest
+
+    params = {"backbone": {"Conv_0": {"kernel": jnp.ones((1, 1, 2, 2))}}}
+    with _pytest.raises(ValueError):
+        create_optimizer(params, "sgd", learning_rate=0.1, radial_projection=True)
+
+
 def test_create_optimizer_accepts_knob_and_trains():
     params = {
         "backbone": {"Conv_0": {"kernel": jnp.ones((1, 1, 2, 2))}},
