@@ -95,10 +95,23 @@ def create_pipeline(
         names = [
             t if isinstance(t, str) else next(iter(t)) for t in transforms
         ]
+        max_size = (config or {}).get("max_image_size")
+        square = bool(max_size) and max_size[0] == max_size[1]
         if "bottomup_pad" not in names:
             logging.info(
                 "Set batch_size = 1 for `%s` evaluation (no bottomup_pad "
                 "transform -> variable image sizes).", method,
+            )
+            batch_size = 1
+        elif not square:
+            # bottomup_pad swaps its target dims for portrait images, so a
+            # non-square max_image_size still yields two static shapes —
+            # a mixed-orientation batch would fail to stack. Use a square
+            # max_image_size to enable batched eval.
+            logging.info(
+                "Set batch_size = 1 for `%s` evaluation (non-square "
+                "max_image_size %s pads portrait and landscape images to "
+                "different shapes).", method, max_size,
             )
             batch_size = 1
 

@@ -99,7 +99,9 @@ class TopDownAffine(TopDownTransform):
         super().__init__(is_train=is_train, config=config)
         self.use_udp = use_udp
 
-    def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
+    def _matrix_and_keypoints(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        """Shared core: build the (UDP or standard) warp matrix and map the
+        keypoints through it; pixel warping is left to the caller."""
         image_size = self._transform_cfg["image_size"]
         pixel_std = self._transform_cfg["pixel_std"]
         rotation = state.get("rotation", 0.0)
@@ -120,14 +122,7 @@ class TopDownAffine(TopDownTransform):
                 pixel_std=pixel_std,
             )
 
-        out: Dict[str, Any] = dict()
-        out["image"] = cv2.warpAffine(
-            state["image"],
-            np.asarray(trans, dtype=np.float64),
-            (int(image_size[0]), int(image_size[1])),
-            flags=cv2.INTER_LINEAR,
-        )
-
+        out: Dict[str, Any] = dict(_trans=trans)
         if "keypoints" in state:
             keypoints = state["keypoints"].copy()
             if self.use_udp:
@@ -137,6 +132,18 @@ class TopDownAffine(TopDownTransform):
                     if keypoints[i, 2] > 0.0:
                         keypoints[i, 0:2] = affine_transform(keypoints[i, 0:2], trans)
             out["keypoints"] = keypoints
+        return out
+
+    def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        image_size = self._transform_cfg["image_size"]
+        out = self._matrix_and_keypoints(state)
+        trans = out.pop("_trans")
+        out["image"] = cv2.warpAffine(
+            state["image"],
+            np.asarray(trans, dtype=np.float64),
+            (int(image_size[0]), int(image_size[1])),
+            flags=cv2.INTER_LINEAR,
+        )
         return out
 
 
@@ -149,36 +156,8 @@ class TopDownAffineMatrix(TopDownAffine):
     """
 
     def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
-        image_size = self._transform_cfg["image_size"]
-        pixel_std = self._transform_cfg["pixel_std"]
-        rotation = state.get("rotation", 0.0)
-
-        if self.use_udp:
-            trans = get_warp_matrix(
-                rotation,
-                state["center"] * 2.0,
-                image_size - 1.0,
-                state["scale"] * pixel_std,
-            )
-        else:
-            trans = get_affine_transform(
-                state["center"],
-                state["scale"],
-                rotation,
-                image_size,
-                pixel_std=pixel_std,
-            )
-
-        out: Dict[str, Any] = dict()
-        if "keypoints" in state:
-            keypoints = state["keypoints"].copy()
-            if self.use_udp:
-                keypoints[:, 0:2] = warp_affine_joints(keypoints[:, 0:2], trans)
-            else:
-                for i in range(keypoints.shape[0]):
-                    if keypoints[i, 2] > 0.0:
-                        keypoints[i, 0:2] = affine_transform(keypoints[i, 0:2], trans)
-            out["keypoints"] = keypoints
+        out = self._matrix_and_keypoints(state)
+        trans = out.pop("_trans")
 
         if state.get("hflip", False):
             # keypoints/center are already in flipped coordinates; the warp

@@ -117,7 +117,7 @@ class SubsampledBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        import jax
+        from jax import lax
 
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
@@ -143,11 +143,9 @@ class SubsampledBatchNorm(nn.Module):
                     self.momentum * ra_var.value + (1.0 - self.momentum) * var
                 )
             if self.grad_stats in ("frozen", "frozen_var"):
-                var = jax.lax.stop_gradient(var)
+                var = lax.stop_gradient(var)
             if self.grad_stats == "frozen":
-                mean = jax.lax.stop_gradient(mean)
-        import jax.lax as lax
-
+                mean = lax.stop_gradient(mean)
         inv = lax.rsqrt(var + self.epsilon) * scale
         mul = inv.astype(self.dtype)
         add = (bias - mean * inv).astype(self.dtype)

@@ -88,13 +88,15 @@ def is_main_process() -> bool:
 
 
 def gather_records(records: list) -> list:
-    """All-gather a list of JSON-serializable records across processes.
+    """All-gather a list of records across processes.
 
     Enables sharded evaluation on multi-host meshes: each process infers its
     local shard of the val set, then every process sees the full record list
     (the evaluator can run redundantly or rank-0-gated). Single-process: a
     no-op. The payload rides the JAX collective fabric as padded uint8
-    buffers (two allgathers: sizes, then data).
+    buffers (two allgathers: sizes, then data). Numpy arrays/scalars in the
+    records are serialized through JSON and come back as nested lists /
+    Python scalars — consumers should ``np.asarray`` what they index into.
     """
     if jax.process_count() == 1:
         return records
@@ -102,7 +104,17 @@ def gather_records(records: list) -> list:
 
     from jax.experimental import multihost_utils
 
-    payload = np.frombuffer(json.dumps(records).encode("utf-8"), np.uint8)
+    def _default(o):
+        # inference records carry numpy payloads (pred arrays, np scalars)
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        if isinstance(o, np.generic):
+            return o.item()
+        raise TypeError(f"not JSON serializable: {type(o)}")
+
+    payload = np.frombuffer(
+        json.dumps(records, default=_default).encode("utf-8"), np.uint8
+    )
     sizes = multihost_utils.process_allgather(
         np.array([payload.size], np.int64)
     ).ravel()

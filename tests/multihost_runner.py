@@ -68,12 +68,20 @@ def main():
         np.testing.assert_allclose(np.asarray(shard.data), float(rank))
 
     # --- gather_records: sharded-eval record merge across processes ---
+    # records carry numpy payloads exactly like the inferencers' output
     local_records = [
-        {"pred": [float(rank)] * 3, "bbox_id": rank * 10 + i} for i in range(3)
+        {
+            "pred": np.full((17, 3), float(rank), np.float32),
+            "score": np.float32(0.5 + rank),
+            "bbox_id": rank * 10 + i,
+        }
+        for i in range(3)
     ]
     merged = gather_records(local_records)
     assert len(merged) == 3 * nprocs, merged
     assert sorted(r["bbox_id"] for r in merged) == [0, 1, 2, 10, 11, 12]
+    preds = {r["bbox_id"]: np.asarray(r["pred"]) for r in merged}
+    assert preds[0].shape == (17, 3) and float(preds[10][0, 0]) == 1.0
 
     print(f"MULTIHOST_OK rank={rank}")
 

@@ -41,8 +41,6 @@ def timeit(f, args, iters=20, fetch=lambda o: np.asarray(jax.tree_util.tree_leav
 # 1. full train step (reference point)
 state = create_train_state(variables, tx)
 step = build_train_step(nwl, tx, mesh=None, donate=False)
-def full(state):
-    return step(state, x, y, w)
 ms_full = timeit(jax.jit(lambda s: step(s, x, y, w)), (state,))
 print(f"full step (fwd+bwd+opt)      {ms_full:8.2f} ms")
 
@@ -74,6 +72,6 @@ print(f"fwd+bwd (eval BN, no stats)  {timeit(fwdbwd_eval, (params, stats)):8.2f}
 # 5. fwd-only eval mode
 @jax.jit
 def fwd_eval(params, stats):
-    hm = net.apply({"params": p_ if (p_:=params) is not None else params, "batch_stats": stats}, x, train=False)
+    hm = net.apply({"params": params, "batch_stats": stats}, x, train=False)
     return jnp.sum(hm.astype(jnp.float32))
 print(f"fwd only (eval BN)           {timeit(fwd_eval, (params, stats)):8.2f} ms")

@@ -89,9 +89,16 @@ def evaluate(args):
         net, decoder, output_raw=args.eval_setting.get("has_heatmap_output", True)
     )
     # fan inference out across all local devices (sharded_eval=False for
-    # the reference's single-device eval behavior)
+    # the reference's single-device eval behavior). Skip when the pipeline
+    # forced batch_size=1 (variable-shape bottom-up eval): padding each
+    # batch with D-1 copies of the same image only multiplies compute and
+    # compile cost.
     mesh = None
-    if jax.device_count() > 1 and args.eval_setting.get("sharded_eval", True):
+    if (
+        jax.device_count() > 1
+        and args.eval_setting.get("sharded_eval", True)
+        and getattr(loader_val, "batch_size", 1) > 1
+    ):
         from mindpose_tpu.parallel import create_mesh
 
         mesh = create_mesh()

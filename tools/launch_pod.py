@@ -40,17 +40,39 @@ def _env_int(name):
 def prepare_data_rank0(prepare_cmd: str, workdir: str, rank: int,
                        timeout_s: int = 3600) -> None:
     """Run the data-preparation command on rank 0; other ranks wait on a
-    file barrier (parity: ref train_on_openi.py:25-44 Msg/wait loop)."""
+    file barrier (parity: ref train_on_openi.py:25-44 Msg/wait loop).
+
+    The barrier stores a hash of ``prepare_cmd`` so a stale barrier from a
+    previous launch only satisfies waiters when it corresponds to the same
+    (successfully completed) preparation; a changed command makes ranks>0
+    wait for rank 0 to re-run it and rewrite the barrier.
+    """
+    import hashlib
+
     barrier = os.path.join(workdir, _BARRIER)
+    stamp = hashlib.sha256(prepare_cmd.encode()).hexdigest()
+
+    def _barrier_ok():
+        try:
+            with open(barrier) as f:
+                return f.read().strip() == stamp
+        except OSError:
+            return False
+
     if rank == 0:
+        if _barrier_ok():
+            logging.info("[rank 0] data already prepared (barrier matches)")
+            return
+        if os.path.exists(barrier):
+            os.remove(barrier)  # stale barrier from a different prepare-cmd
         logging.info("[rank 0] preparing data: %s", prepare_cmd)
         subprocess.run(prepare_cmd, shell=True, check=True)
         with open(barrier, "w") as f:
-            f.write("ok")
+            f.write(stamp)
         return
     logging.info("[rank %d] waiting for rank 0 data preparation...", rank)
     t0 = time.time()
-    while not os.path.exists(barrier):
+    while not _barrier_ok():
         if time.time() - t0 > timeout_s:
             raise TimeoutError("data preparation barrier timed out")
         time.sleep(5)
@@ -81,8 +103,19 @@ def main() -> None:
     world = _env_int("NUM_PROCESSES")
     coord = os.environ.get("COORDINATOR_ADDRESS")
     if rank is None:
-        # best effort for TPU pods before jax initializes
-        rank = _env_int("TPU_WORKER_ID") or 0
+        # best effort for TPU pods before jax initializes. NOTE: `or 0`
+        # would silently make EVERY host rank 0 when the var is absent —
+        # refuse to guess in an explicit multi-process launch.
+        rank = _env_int("TPU_WORKER_ID")
+    if rank is None:
+        if world and world > 1:
+            parser.error(
+                "cannot determine this host's rank: set PROCESS_ID (or "
+                "TPU_WORKER_ID). With NUM_PROCESSES > 1 a guessed rank 0 "
+                "on every host would run --prepare-cmd concurrently and "
+                "give jax.distributed duplicate process ids."
+            )
+        rank = 0
 
     if args.prepare_cmd:
         prepare_data_rank0(args.prepare_cmd, args.workdir, rank)

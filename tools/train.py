@@ -259,13 +259,22 @@ def train(args) -> None:
         )
         # shard val inference over the mesh (beyond ref: their eval idles
         # all but rank 0, eval_callback.py:136-153); sharded_eval=False
-        # restores the single-device behavior
+        # restores the single-device behavior. Eval runs on rank 0 only, so
+        # multi-host training must NOT hand the inferencer the global mesh —
+        # rank 0 would issue collectives on devices the other (training-only)
+        # processes never join. Shard over rank-0's local chips instead.
+        if not args.eval_setting.get("sharded_eval", True):
+            eval_mesh = None
+        elif jax.process_count() > 1:
+            eval_mesh = create_mesh(jax.local_devices())
+        else:
+            eval_mesh = mesh
         inferencer = create_inferencer(
             eval_net,
             name=args.inference_method,
             config=args.eval_setting,
             dataset_config=args.dataset_setting,
-            mesh=mesh if args.eval_setting.get("sharded_eval", True) else None,
+            mesh=eval_mesh,
         )
         evaluator = create_evaluator(
             args.val_label,
