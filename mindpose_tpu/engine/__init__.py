@@ -1,3 +1,3 @@
 from . import evaluator, inferencer
 from .factory import create_evaluator, create_inferencer
-from .predictor import TopDownPredictor
+from .predictor import BottomUpPredictor, TopDownPredictor
