@@ -1,10 +1,12 @@
-"""Demo CLI: run top-down pose prediction on images and draw skeletons.
+"""Demo CLI: run pose prediction on images and draw skeletons.
 
 Usage:
     python tools/demo.py --config <cfg.yaml> --ckpt <ckpt> \
         --image-dir <dir> [--boxes x,y,w,h ...] [--output-dir ./demo_out]
 
-Without --boxes, the whole image is used as a single person box.
+Top-down configs: without --boxes, the whole image is used as a single
+person box. Bottom-up configs (pipeline_method: bottomup) need no boxes —
+the BottomUpPredictor finds every person directly.
 """
 import glob
 import os
@@ -19,7 +21,7 @@ import numpy as np
 from flax import serialization
 
 from mindpose_tpu.config import parse_args
-from mindpose_tpu.engine import TopDownPredictor
+from mindpose_tpu.engine import BottomUpPredictor, TopDownPredictor
 from mindpose_tpu.models import create_network
 from common.log import setup_default_logging
 
@@ -62,26 +64,42 @@ def main() -> None:
             "batch_stats": raw.get("batch_stats", variables.get("batch_stats", {})),
         }
 
-    predictor = TopDownPredictor(
-        net, variables,
-        dataset_setting=args.dataset_setting,
-        decoder_setting=getattr(args, "decoder_setting", None),
-        normalize_mean=args.normalize_mean,
-        normalize_std=args.normalize_std,
-    )
+    bottomup = getattr(args, "pipeline_method", "topdown") == "bottomup"
+    if bottomup:
+        predictor = BottomUpPredictor(
+            net, variables,
+            dataset_setting=args.dataset_setting,
+            eval_setting=args.eval_setting,
+            decoder_setting=getattr(args, "decoder_setting", None),
+            normalize_mean=args.normalize_mean,
+            normalize_std=args.normalize_std,
+        )
+    else:
+        predictor = TopDownPredictor(
+            net, variables,
+            dataset_setting=args.dataset_setting,
+            decoder_setting=getattr(args, "decoder_setting", None),
+            normalize_mean=args.normalize_mean,
+            normalize_std=args.normalize_std,
+        )
 
     for path in sorted(glob.glob(os.path.join(args.image_dir, "*"))):
         if os.path.splitext(path)[1].lower() not in (".jpg", ".jpeg", ".png"):
             continue
         bgr = cv2.imread(path)
         img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-        if args.boxes:
-            boxes = np.array(
-                [[float(v) for v in b.split(",")] for b in args.boxes]
-            )
+        if bottomup:
+            preds, _scores = predictor(img)
         else:
-            boxes = np.array([[0, 0, img.shape[1], img.shape[0]]], np.float32)
-        preds = predictor(img, boxes)
+            if args.boxes:
+                boxes = np.array(
+                    [[float(v) for v in b.split(",")] for b in args.boxes]
+                )
+            else:
+                boxes = np.array(
+                    [[0, 0, img.shape[1], img.shape[0]]], np.float32
+                )
+            preds = predictor(img, boxes)
 
         for person in preds:
             for a, b in _SKELETON:
@@ -92,7 +110,8 @@ def main() -> None:
                         (int(person[b, 0]), int(person[b, 1])),
                         (0, 255, 0), 2,
                     )
-            for x, y, s in person:
+            # bottom-up preds carry extra tag columns beyond (x, y, score)
+            for x, y, s in person[:, :3]:
                 if s > args.vis_thr:
                     cv2.circle(bgr, (int(x), int(y)), 3, (0, 0, 255), -1)
         out = os.path.join(args.output_dir, os.path.basename(path))
