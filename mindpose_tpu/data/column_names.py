@@ -1,90 +1,50 @@
 """Column-name contracts per method x phase.
 
-Parity: /root/reference/mindpose/data/column_names.py:4-88. In this framework
-records flow as dicts, so only the *final* projections (what the batched
-iterator yields) are load-bearing; the pre-projection sets document the keys
-available to transforms.
+Parity: /root/reference/mindpose/data/column_names.py:4-88 — the NAMES are
+the contract (they must match the reference's exactly so configs and
+transforms interoperate); the tables are built compactly from space-
+separated specs. In this framework records flow as dicts, so only the
+*final* projections (what the batched iterator yields) are load-bearing;
+the pre-projection sets document the keys available to transforms.
 """
 
-_TOPDOWN_TRAIN_COLUMN_NAMES = [
-    "image",
-    "center",
-    "scale",
-    "boxes",
-    "keypoints",
-    "rotation",
-    "target",
-    "target_weight",
-]
+def _cols(spec: str) -> list:
+    return spec.split()
 
-_TOPDOWN_TRAIN_FINAL_COLUMN_NAMES = ["image", "target", "target_weight"]
 
-_TOPDOWN_VAL_COLUMN_NAMES = [
-    "image",
-    "center",
-    "scale",
-    "rotation",
-    "image_file",
-    "boxes",
-    "bbox_ids",
-    "bbox_scores",
-]
+# method -> phase -> keys available to the transform pipeline
+_PIPELINE = {
+    "topdown": {
+        "train": _cols("image center scale boxes keypoints rotation target target_weight"),
+        "val": _cols("image center scale rotation image_file boxes bbox_ids bbox_scores"),
+    },
+    "bottomup": {
+        "train": _cols("image boxes keypoints target mask tag_ind"),
+        "val": _cols("image mask center scale image_file image_shape"),
+    },
+}
 
-_TOPDOWN_VAL_FINAL_COLUMN_NAMES = [
-    "image",
-    "image_file",
-    "boxes",
-    "bbox_ids",
-    "center",
-    "scale",
-    "bbox_scores",
-]
+# method -> phase -> columns the batched iterator yields (train: the train
+# step's positional inputs in order; val: what the inferencer consumes)
+FINAL_COLUMN_MAP = {
+    "topdown": {
+        "train": _cols("image target target_weight"),
+        "val": _cols("image image_file boxes bbox_ids center scale bbox_scores"),
+    },
+    "bottomup": {
+        "train": _cols("image target mask tag_ind"),
+        "val": _cols("image mask center scale image_file image_shape"),
+    },
+    "imagefolder_bottomup": {
+        "val": _cols("image mask center scale image_file image_shape"),
+    },
+}
 
-_BOTTOMUP_TRAIN_COLUMN_NAMES = [
-    "image",
-    "boxes",
-    "keypoints",
-    "target",
-    "mask",
-    "tag_ind",
-]
-
-_BOTTOMUP_TRAIN_FINAL_COLUMN_NAMES = ["image", "target", "mask", "tag_ind"]
-
-_BOTTOMUP_VAL_COLUMN_NAMES = [
-    "image",
-    "mask",
-    "center",
-    "scale",
-    "image_file",
-    "image_shape",
-]
-
-_BOTTOMUP_VAL_FINAL_COLUMN_NAMES = [
-    "image",
-    "mask",
-    "center",
-    "scale",
-    "image_file",
-    "image_shape",
-]
-
-COLUMN_MAP = dict(
-    coco_topdown=dict(train=_TOPDOWN_TRAIN_COLUMN_NAMES, val=_TOPDOWN_VAL_COLUMN_NAMES),
-    topdown=dict(train=_TOPDOWN_TRAIN_COLUMN_NAMES, val=_TOPDOWN_VAL_COLUMN_NAMES),
-    coco_bottomup=dict(
-        train=_BOTTOMUP_TRAIN_COLUMN_NAMES, val=_BOTTOMUP_VAL_COLUMN_NAMES
-    ),
-    bottomup=dict(train=_BOTTOMUP_TRAIN_COLUMN_NAMES, val=_BOTTOMUP_VAL_COLUMN_NAMES),
-    imagefolder_bottomup=dict(val=_BOTTOMUP_VAL_COLUMN_NAMES),
-)
-
-FINAL_COLUMN_MAP = dict(
-    topdown=dict(
-        train=_TOPDOWN_TRAIN_FINAL_COLUMN_NAMES, val=_TOPDOWN_VAL_FINAL_COLUMN_NAMES
-    ),
-    bottomup=dict(
-        train=_BOTTOMUP_TRAIN_FINAL_COLUMN_NAMES, val=_BOTTOMUP_VAL_FINAL_COLUMN_NAMES
-    ),
-    imagefolder_bottomup=dict(val=_BOTTOMUP_VAL_FINAL_COLUMN_NAMES),
-)
+# dataset-format aliases share their method's pipeline columns
+COLUMN_MAP = {
+    "topdown": _PIPELINE["topdown"],
+    "coco_topdown": _PIPELINE["topdown"],
+    "bottomup": _PIPELINE["bottomup"],
+    "coco_bottomup": _PIPELINE["bottomup"],
+    "imagefolder_bottomup": {"val": _PIPELINE["bottomup"]["val"]},
+}

@@ -5,14 +5,15 @@ plain dicts (the MindSpore column-tuple protocol is replaced by dict states
 flowing through the transform pipeline); images are decoded lazily in the
 loader workers.
 """
-import logging
 from copy import deepcopy
 from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from .base import RecordDataset
 
-class TopDownDataset:
+
+class TopDownDataset(RecordDataset):
     """Indexable dataset of per-instance records.
 
     Record keys: image_file, boxes (xywh), keypoints [K, 3] (train/gt),
@@ -29,33 +30,21 @@ class TopDownDataset:
         detection_file: Optional[str] = None,
         config: Optional[Dict[str, Any]] = None,
     ) -> None:
-        self.image_root = image_root
-        self.annotation_file = annotation_file
-        self.is_train = is_train
-        self.num_joints = num_joints
+        # set before super().__init__ — load_dataset reads them
         self.use_gt_bbox_for_val = use_gt_bbox_for_val
         self.detection_file = detection_file
-        self.config = config if config else dict()
-
-        if self.annotation_file is None:
-            if not self.is_train and not self.use_gt_bbox_for_val:
-                raise ValueError(
-                    "For evaluation, `detection_file` must be provided "
-                    "when `use_gt_bbox_for_val` is `False`"
-                )
-
-        self._dataset_cfg = self.load_dataset_cfg()
-        self._dataset = self.load_dataset()
-        logging.info("Number of records in dataset: %d", len(self._dataset))
-
-    def load_dataset_cfg(self) -> Dict[str, Any]:
-        raise NotImplementedError("Child class must implement this method.")
-
-    def load_dataset(self) -> List[Dict[str, Any]]:
-        raise NotImplementedError("Child class must implement this method.")
-
-    def __len__(self) -> int:
-        return len(self._dataset)
+        if annotation_file is None and not is_train and not use_gt_bbox_for_val:
+            raise ValueError(
+                "For evaluation, `detection_file` must be provided "
+                "when `use_gt_bbox_for_val` is `False`"
+            )
+        super().__init__(
+            image_root,
+            annotation_file=annotation_file,
+            is_train=is_train,
+            num_joints=num_joints,
+            config=config,
+        )
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         record = self._dataset[idx]
@@ -74,18 +63,31 @@ class TopDownDataset:
     def _sanitize_bbox(
         annos: List[Dict], img_width: int, img_height: int
     ) -> List[Dict[str, Any]]:
-        """Clip boxes into the image; drop degenerate/empty ones."""
-        valid_annos = []
-        for anno in annos:
-            if "bbox" not in anno:
+        """Clip boxes into the image; drop degenerate/empty ones.
+
+        Recipe (ref topdown.py:8-141): clamp the top-left into the image,
+        clamp the bottom-right (inclusive-pixel convention, hence the -1s)
+        and keep only boxes with positive extent and positive COCO area.
+        """
+        boxed = [a for a in annos if "bbox" in a]
+        if not boxed:
+            return []
+        xywh = np.asarray([a["bbox"] for a in boxed], dtype=np.float64)
+        tl = np.maximum(xywh[:, :2], 0.0)
+        br_limit = np.array([img_width - 1, img_height - 1], np.float64)
+        br = np.minimum(tl + np.maximum(xywh[:, 2:] - 1.0, 0.0), br_limit)
+        extent_ok = (br > tl).all(axis=1)
+
+        kept = []
+        for anno, keep, p1, p2 in zip(boxed, extent_ok, tl, br):
+            if not keep or anno.get("area", 1) <= 0:
                 continue
-            x, y, w, h = anno["bbox"]
-            x1 = max(0, x)
-            y1 = max(0, y)
-            x2 = min(img_width - 1, x1 + max(0, w - 1))
-            y2 = min(img_height - 1, y1 + max(0, h - 1))
-            if ("area" not in anno or anno["area"] > 0) and x2 > x1 and y2 > y1:
-                valid = deepcopy(anno)
-                valid["bbox"] = [x1, y1, x2 - x1, y2 - y1]
-                valid_annos.append(valid)
-        return valid_annos
+            valid = deepcopy(anno)
+            valid["bbox"] = [
+                float(p1[0]),
+                float(p1[1]),
+                float(p2[0] - p1[0]),
+                float(p2[1] - p1[1]),
+            ]
+            kept.append(valid)
+        return kept

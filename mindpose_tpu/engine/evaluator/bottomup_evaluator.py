@@ -1,6 +1,8 @@
 """Bottom-up evaluator: per-instance area from keypoint extent, OKS AP.
 
-Parity: /root/reference/mindpose/engine/evaluator/bottomup_evaluator.py:12-122.
+Parity: /root/reference/mindpose/engine/evaluator/bottomup_evaluator.py:12-122
+(same record contract and metric recipe; structured like this package's
+TopDownEvaluator — collect per image, optional OKS-NMS, COCOeval).
 """
 import os
 from collections import defaultdict
@@ -41,42 +43,49 @@ class BottomUpEvaluator(Evaluator):
         }
 
     def eval(self, inference_result: List[Dict[str, Any]]) -> Dict[str, Any]:
-        kpts = defaultdict(list)
-        for record in inference_result:
-            image_id = self.name2id[os.path.basename(record["image_path"])]
-            for kpt, score in zip(record["pred"], record["score"]):
-                kpt = np.asarray(kpt)
-                area = (np.max(kpt[:, 0]) - np.min(kpt[:, 0])) * (
-                    np.max(kpt[:, 1]) - np.min(kpt[:, 1])
-                )
-                kpts[image_id].append(
-                    {
-                        "keypoints": kpt[:, :3],
-                        "score": float(score),
-                        "image_id": image_id,
-                        "area": area,
-                    }
-                )
+        per_image = self._collect_by_image(inference_result)
+        kept = [self._apply_nms(persons) for persons in per_image.values()]
 
-        oks_thr = self._evaluation_cfg["oks_thr"]
-        valid_kpts = []
-        for image_id in kpts.keys():
-            img_kpts = kpts[image_id]
-            if self._evaluation_cfg["use_nms"]:
-                nms = soft_oks_nms if self._evaluation_cfg["soft_nms"] else oks_nms
-                keep = nms(img_kpts, oks_thr, sigmas=self._evaluation_cfg["sigmas"])
-                valid_kpts.append([img_kpts[_keep] for _keep in keep])
-            else:
-                valid_kpts.append(img_kpts)
-
-        self._write_coco_keypoint_results(valid_kpts, self.result_path)
+        self._write_coco_keypoint_results(kept, self.result_path)
         name_value = dict(self._do_python_keypoint_eval(self.result_path))
 
-        for name in self.metrics:
-            if name not in name_value:
-                raise ValueError(
-                    f"`{name}` is not in the returned result `{name_value.keys()}`"
-                )
+        missing = [m for m in self.metrics if m not in name_value]
+        if missing:
+            raise ValueError(
+                f"`{missing[0]}` is not in the returned result `{name_value.keys()}`"
+            )
         if self.remove_result_file:
             os.remove(self.result_path)
         return name_value
+
+    def _collect_by_image(
+        self, records: List[Dict[str, Any]]
+    ) -> Dict[int, List[Dict[str, Any]]]:
+        """image_id -> instance dicts; area = bounding extent of the joints
+        (bottom-up has no detector boxes to take an area from)."""
+        per_image: Dict[int, List[Dict[str, Any]]] = defaultdict(list)
+        for record in records:
+            image_id = self.name2id[os.path.basename(record["image_path"])]
+            for joints, score in zip(record["pred"], record["score"]):
+                joints = np.asarray(joints)
+                extent = joints[:, :2].max(axis=0) - joints[:, :2].min(axis=0)
+                per_image[image_id].append(
+                    dict(
+                        keypoints=joints[:, :3],
+                        score=float(score),
+                        image_id=image_id,
+                        area=float(extent[0] * extent[1]),
+                    )
+                )
+        return per_image
+
+    def _apply_nms(self, persons: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        if not self._evaluation_cfg["use_nms"]:
+            return persons
+        nms = soft_oks_nms if self._evaluation_cfg["soft_nms"] else oks_nms
+        keep = nms(
+            persons,
+            self._evaluation_cfg["oks_thr"],
+            sigmas=self._evaluation_cfg["sigmas"],
+        )
+        return [persons[i] for i in keep]

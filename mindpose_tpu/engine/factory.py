@@ -1,6 +1,7 @@
 """Engine factory: merge eval + dataset configs, dispatch via registry.
 
-Parity: /root/reference/mindpose/engine/factory.py:13-84.
+Parity: /root/reference/mindpose/engine/factory.py:13-84 (same public
+signatures and merge-with-warning semantics).
 """
 import logging
 from typing import Any, Dict, List, Optional, Union
@@ -13,6 +14,20 @@ from .inferencer.inferencer import Inferencer
 __all__ = ["create_inferencer", "create_evaluator"]
 
 
+def _merged(*configs: Optional[Dict[str, Any]]) -> Dict[str, Any]:
+    """Left-to-right merge (later wins) warning on colliding keys."""
+    out: Dict[str, Any] = {}
+    for cfg in configs:
+        cfg = cfg or {}
+        collisions = out.keys() & cfg.keys()
+        if collisions:
+            logging.warning(
+                "Duplicated keys found in two configs: `%s`", set(collisions)
+            )
+        out.update(cfg)
+    return out
+
+
 def create_inferencer(
     net: EvalNet,
     name: str = "topdown_heatmap",
@@ -21,10 +36,9 @@ def create_inferencer(
     **kwargs: Any,
 ) -> Inferencer:
     """Create an inference engine over the whole dataset."""
-    config = config if config else dict()
-    dataset_config = dataset_config if dataset_config else dict()
-    full_config = _merge_configs(config, dataset_config)
-    return entrypoint("inferencer", name)(net=net, config=full_config, **kwargs)
+    return entrypoint("inferencer", name)(
+        net=net, config=_merged(config, dataset_config), **kwargs
+    )
 
 
 def create_evaluator(
@@ -36,16 +50,9 @@ def create_evaluator(
     **kwargs: Any,
 ) -> Evaluator:
     """Create an evaluation engine producing metric results."""
-    config = config if config else dict()
-    dataset_config = dataset_config if dataset_config else dict()
-    full_config = _merge_configs(config, dataset_config)
     return entrypoint("evaluator", name)(
-        annotation_file=annotation_file, metric=metric, config=full_config, **kwargs
+        annotation_file=annotation_file,
+        metric=metric,
+        config=_merged(config, dataset_config),
+        **kwargs,
     )
-
-
-def _merge_configs(config_1: Dict[str, Any], config_2: Dict[str, Any]) -> Dict[str, Any]:
-    common = set(config_1.keys()) & set(config_2.keys())
-    if common:
-        logging.warning("Duplicated keys found in two configs: `%s`", common)
-    return {**config_1, **config_2}
