@@ -139,33 +139,18 @@ class ParityGroupBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..common import _bn_train_stats, _bn_variables
+
         c = x.shape[-1] // self.parity
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        ra_mean = self.variable(
-            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
-        )
-        ra_var = self.variable(
-            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
-        )
+        scale, bias, ra_mean, ra_var = _bn_variables(self, c)
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             n = max(1, int(round(x.shape[0] * self.stats_frac)))
-            xf = x[:n].astype(jnp.float32).reshape(-1, self.parity, c)
-            mean = jnp.mean(xf, axis=(0, 1))
-            var = jnp.mean(jnp.square(xf), axis=(0, 1)) - jnp.square(mean)
-            if not self.is_initializing():
-                ra_mean.value = (
-                    self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
-                )
-                ra_var.value = (
-                    self.momentum * ra_var.value + (1.0 - self.momentum) * var
-                )
-            if self.grad_stats in ("frozen", "frozen_var"):
-                var = lax.stop_gradient(var)
-            if self.grad_stats == "frozen":
-                mean = lax.stop_gradient(mean)
+            # parity groups fold into the reduction axis: stats equal plain
+            # per-channel BN on the un-s2d tensor
+            xs = x[:n].astype(jnp.float32).reshape(-1, c)
+            mean, var = _bn_train_stats(self, xs, ra_mean, ra_var)
         inv = lax.rsqrt(var + self.epsilon) * scale
         mul = jnp.tile(inv, self.parity).astype(self.dtype)
         add = jnp.tile(bias - mean * inv, self.parity).astype(self.dtype)

@@ -81,6 +81,36 @@ def batch_norm(
     )
 
 
+def _bn_variables(module: nn.Module, c: int):
+    """Create the nn.BatchNorm-compatible param/stat variables."""
+    scale = module.param("scale", nn.initializers.ones, (c,), jnp.float32)
+    bias = module.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+    ra_mean = module.variable(
+        "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+    )
+    ra_var = module.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+    return scale, bias, ra_mean, ra_var
+
+
+def _bn_train_stats(module: nn.Module, xs: jnp.ndarray, ra_mean, ra_var):
+    """Train-mode batch moments over ``xs`` [N, c] (f32), with the running-
+    stat EMA update and the module's ``grad_stats`` freezing policy applied.
+    Shared by SubsampledBatchNorm and the s2d stem's ParityGroupBatchNorm."""
+    from jax import lax
+
+    mean = jnp.mean(xs, axis=0)
+    var = jnp.mean(jnp.square(xs), axis=0) - jnp.square(mean)
+    if not module.is_initializing():
+        m = module.momentum
+        ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+        ra_var.value = m * ra_var.value + (1.0 - m) * var
+    if module.grad_stats in ("frozen", "frozen_var"):
+        var = lax.stop_gradient(var)
+    if module.grad_stats == "frozen":
+        mean = lax.stop_gradient(mean)
+    return mean, var
+
+
 class SubsampledBatchNorm(nn.Module):
     """BatchNorm with TPU throughput knobs: subsampled stats, frozen-grad stats.
 
@@ -120,32 +150,13 @@ class SubsampledBatchNorm(nn.Module):
         from jax import lax
 
         c = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        ra_mean = self.variable(
-            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
-        )
-        ra_var = self.variable(
-            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
-        )
+        scale, bias, ra_mean, ra_var = _bn_variables(self, c)
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             n = max(1, int(round(x.shape[0] * self.stats_frac)))
             xs = x[:n].astype(jnp.float32).reshape(-1, c)
-            mean = jnp.mean(xs, axis=0)
-            var = jnp.mean(jnp.square(xs), axis=0) - jnp.square(mean)
-            if not self.is_initializing():
-                ra_mean.value = (
-                    self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
-                )
-                ra_var.value = (
-                    self.momentum * ra_var.value + (1.0 - self.momentum) * var
-                )
-            if self.grad_stats in ("frozen", "frozen_var"):
-                var = lax.stop_gradient(var)
-            if self.grad_stats == "frozen":
-                mean = lax.stop_gradient(mean)
+            mean, var = _bn_train_stats(self, xs, ra_mean, ra_var)
         inv = lax.rsqrt(var + self.epsilon) * scale
         mul = inv.astype(self.dtype)
         add = (bias - mean * inv).astype(self.dtype)
