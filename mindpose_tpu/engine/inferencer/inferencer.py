@@ -11,6 +11,8 @@ over the mesh's data axis so inference fans out across all devices.
 import logging
 from typing import Any, Dict, List, Optional
 
+import numpy as np
+
 from ...models.networks import EvalNet
 
 
@@ -56,6 +58,34 @@ class Inferencer:
         sharding = data_sharding(self.mesh)
         return tuple(jax.device_put(a, sharding) for a in arrays)
 
+    def _place_variables(self, variables):
+        """Re-place ``variables`` onto this inferencer's mesh (replicated).
+
+        During multi-host training the train state's params are committed to
+        the GLOBAL mesh by the sharded step, while eval runs on rank-0's
+        local mesh (tools/train.py). Mixing the two device sets inside one
+        jit raises an incompatible-devices error, so any array that is not
+        fully addressable from this process is first materialized from its
+        local (replicated) shard, then device_put replicated on the eval
+        mesh. No-op without a mesh.
+        """
+        import jax
+
+        if self.mesh is None:
+            return variables
+        from ...parallel.mesh import replicated_sharding
+
+        sharding = replicated_sharding(self.mesh)
+
+        def place(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                # DP training replicates params, so the local shard on the
+                # first addressable device is the full array
+                x = np.asarray(x.addressable_data(0))
+            return jax.device_put(x, sharding)
+
+        return jax.tree.map(place, variables)
+
     def load_inference_cfg(self) -> Dict[str, Any]:
         raise NotImplementedError("Child class must implement this method.")
 
@@ -64,7 +94,7 @@ class Inferencer:
 
     def __call__(self, dataset, variables: Any = None) -> List[Dict[str, Any]]:
         if variables is not None:
-            self.variables = variables
+            self.variables = self._place_variables(variables)
         logging.info("Start inferencing...")
         result = self.infer(dataset)
         logging.info("Start inferencing...done.")

@@ -69,6 +69,51 @@ def test_topdown_sharded_matches_unsharded(fixture):
         np.testing.assert_allclose(a["box"], b["box"], atol=1e-4)
 
 
+def test_topdown_variables_from_foreign_mesh(fixture):
+    """Variables committed to a different device set still evaluate.
+
+    Models the multi-host shape of the bug (ADVICE r2): the train state's
+    params are committed to the GLOBAL mesh by the sharded step, while eval
+    runs on rank-0's LOCAL mesh. Mixing device sets inside one jit raises an
+    incompatible-devices error unless the inferencer re-places the variables
+    (Inferencer._place_variables). Single-process stand-in: train mesh =
+    devices[:4], eval mesh = devices[4:] (disjoint).
+    """
+    devices = jax.devices()
+    assert len(devices) >= 8
+    train_mesh = create_mesh(devices[:4])
+    eval_mesh = create_mesh(devices[4:8])
+
+    img_root, ann = fixture
+    net = mp.create_network("tiny_test_backbone", "hrnet_head")
+    variables = net.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)),
+                         train=False)
+    # commit params to the train mesh, as the sharded step's out_specs do
+    from mindpose_tpu.parallel import replicated_sharding
+    variables = jax.device_put(variables, replicated_sharding(train_mesh))
+
+    vds = create_dataset(img_root, ann, dataset_format="coco_topdown",
+                         is_train=False, config=TINY_SETTING,
+                         use_gt_bbox_for_val=True)
+    vloader = create_pipeline(
+        vds, ["topdown_box_to_center_scale", "topdown_affine"],
+        method="topdown", batch_size=4, is_train=False, config=TINY_SETTING)
+    decoder = mp.create_decoder("topdown_heatmap", shift_coordinate=True)
+    eval_net = mp.create_eval_network(net, decoder, output_raw=True)
+    inferencer = create_inferencer(eval_net, name="topdown_heatmap",
+                                   config=EVAL_SETTING,
+                                   dataset_config=TINY_SETTING,
+                                   mesh=eval_mesh)
+    records = inferencer(vloader, variables=variables)
+    assert len(records) == 10
+
+    base = _topdown_records(fixture, mesh=None, batch_size=4)
+    by_id = lambda recs: sorted(recs, key=lambda r: (r["image_path"],
+                                                     r["bbox_id"]))
+    for a, b in zip(by_id(base), by_id(records)):
+        np.testing.assert_allclose(a["pred"], b["pred"], atol=1e-4)
+
+
 def _bottomup_records(fixture, mesh, batch_size):
     img_root, ann = fixture
     net = mp.create_network(
