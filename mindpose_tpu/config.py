@@ -11,7 +11,49 @@ from typing import Any, Dict, List, Optional, Sequence
 
 import yaml
 
-__all__ = ["parse_args", "parse_yaml", "set_dotted", "Config"]
+__all__ = [
+    "parse_args",
+    "parse_yaml",
+    "set_dotted",
+    "Config",
+    "check_divergent_knobs",
+]
+
+
+def check_divergent_knobs(args: Any) -> None:
+    """Refuse documented-divergent training knobs unless explicitly allowed.
+
+    ``bn_grad_stats != "exact"`` and ``radial_projection`` change training
+    dynamics vs the reference recipe (docs/divergences.md #10, #12; the
+    frozen-BN ablation in docs/performance.md diverged after ~15 epochs).
+    They exist for experiments only, so the trainer rejects them unless the
+    config sets ``allow_divergent_knobs: true``, in which case it warns.
+    """
+    import logging
+
+    knobs = []
+    backbone_setting = getattr(args, "backbone_setting", None) or {}
+    grad_stats = backbone_setting.get("bn_grad_stats", "exact")
+    if grad_stats != "exact":
+        knobs.append(f"backbone_setting.bn_grad_stats={grad_stats!r}")
+    optimizer_setting = getattr(args, "optimizer_setting", None) or {}
+    if optimizer_setting.get("radial_projection"):
+        knobs.append("optimizer_setting.radial_projection=True")
+    if not knobs:
+        return
+    if not getattr(args, "allow_divergent_knobs", False):
+        raise SystemExit(
+            "Divergent training knobs set: "
+            + ", ".join(knobs)
+            + ". These alter training dynamics vs the reference recipe "
+            "(see docs/divergences.md). Set allow_divergent_knobs=true "
+            "to proceed anyway."
+        )
+    for knob in knobs:
+        logging.warning(
+            "divergent knob enabled: %s — training dynamics will differ "
+            "from the reference recipe (docs/divergences.md)", knob
+        )
 
 
 def _literal(value: str) -> Any:

@@ -26,6 +26,49 @@ def test_factory_dispatch():
     assert SubsampledBatchNorm.__name__ == "BatchNorm"
 
 
+def test_mixed_bn_classes_share_name_counter():
+    """nn.BatchNorm and SubsampledBatchNorm mixed in ONE parent scope.
+
+    The __name__-adoption hack (common.py) makes flax auto-name both classes
+    from the same "BatchNorm" counter. That is the contract checkpoints rely
+    on: a mixed model must produce exactly the paths an all-exact model
+    produces (BatchNorm_0, BatchNorm_1, ...) with no collision and no
+    per-class counters (ADVICE r2: pin this so a flax behavior change or
+    refactor surfaces here instead of as silent checkpoint mismatch).
+    """
+    import flax.linen as nn
+
+    class Mixed(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.BatchNorm(use_running_average=False)(x)
+            x = SubsampledBatchNorm(use_running_average=False, stats_frac=1.0)(x)
+            x = nn.BatchNorm(use_running_average=False)(x)
+            return x
+
+    class AllExact(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for _ in range(3):
+                x = nn.BatchNorm(use_running_average=False)(x)
+            return x
+
+    x = jnp.ones((4, 3))
+    v_mixed = Mixed().init(jax.random.PRNGKey(0), x)
+    v_exact = AllExact().init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v_mixed) == jax.tree_util.tree_structure(
+        v_exact
+    )
+    assert set(v_mixed["params"].keys()) == {
+        "BatchNorm_0", "BatchNorm_1", "BatchNorm_2",
+    }
+    # checkpoint interchange: exact-BN variables apply cleanly to the mixed
+    # model and produce the same forward (stats_frac=1, grad_stats=exact)
+    y_mixed = Mixed().apply(v_exact, x, mutable=["batch_stats"])[0]
+    y_exact = AllExact().apply(v_exact, x, mutable=["batch_stats"])[0]
+    np.testing.assert_allclose(np.asarray(y_mixed), np.asarray(y_exact), atol=2e-5)
+
+
 @pytest.mark.parametrize("mode", ["frozen", "frozen_var"])
 def test_forward_and_running_stats_match_exact(mode):
     rng = np.random.RandomState(0)

@@ -89,3 +89,40 @@ def test_all_configs_parse():
         assert has_component("head", args.head_name)
         assert has_component("loss", args.loss)
         assert has_component("decoder", args.decoder_name)
+
+
+def test_check_divergent_knobs():
+    """Divergent training knobs are refused unless explicitly allowed."""
+    from argparse import Namespace
+
+    from mindpose_tpu.config import check_divergent_knobs
+
+    # clean config: no-op
+    check_divergent_knobs(Namespace())
+    check_divergent_knobs(Namespace(backbone_setting={"bn_grad_stats": "exact"}))
+
+    with pytest.raises(SystemExit, match="bn_grad_stats"):
+        check_divergent_knobs(
+            Namespace(backbone_setting={"bn_grad_stats": "frozen"})
+        )
+    with pytest.raises(SystemExit, match="radial_projection"):
+        check_divergent_knobs(
+            Namespace(optimizer_setting={"radial_projection": True})
+        )
+    # explicit opt-in downgrades to a warning
+    check_divergent_knobs(
+        Namespace(
+            backbone_setting={"bn_grad_stats": "frozen_var"},
+            optimizer_setting={"radial_projection": True},
+            allow_divergent_knobs=True,
+        )
+    )
+
+
+def test_cache_host_fingerprint():
+    """Compilation-cache dir is namespaced by a stable host ISA fingerprint."""
+    from mindpose_tpu.utils.cache import host_fingerprint
+
+    fp = host_fingerprint()
+    assert fp == host_fingerprint()  # stable within a host
+    assert len(fp) == 12 and all(c in "0123456789abcdef" for c in fp)

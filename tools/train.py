@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mindpose_tpu.callbacks import EvalCallback
-from mindpose_tpu.config import parse_args
+from mindpose_tpu.config import check_divergent_knobs, parse_args
 from mindpose_tpu.data import FINAL_COLUMN_MAP, create_dataset, create_pipeline
 from mindpose_tpu.engine import create_evaluator, create_inferencer
 from mindpose_tpu.models import (
@@ -46,6 +46,7 @@ enable_compilation_cache()
 
 
 def train(args) -> None:
+    check_divergent_knobs(args)
     # ---- runtime / distributed context (ref train.py:38-55) ----
     # multi-host: one process per host, bootstrapped by jax.distributed
     # (replaces the reference's mpirun + HCCL stack). On TPU pods the
