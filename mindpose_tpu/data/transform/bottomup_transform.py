@@ -348,8 +348,13 @@ class BottomUpGenerateTarget(BottomUpTransform):
         # (for fractional sigma*3, int() truncation makes ul/br asymmetric
         # around zero — replicated below)
         tmp_size = self.sigma * 3
-        size = int(2 * tmp_size + 1)
-        x0 = size // 2
+        # float size semantics (matches the reference's np.arange(0, size)
+        # kernel): the patch has ceil(size) samples and its peak index is the
+        # float floor-half — one sample longer than int(size) for fractional
+        # sigma
+        size_f = 2 * tmp_size + 1
+        size = int(np.ceil(size_f))
+        x0 = size_f // 2
         target = np.zeros((k, h, w), dtype=np.float32)
         if m == 0:
             return target, tag_ind

@@ -203,7 +203,10 @@ class TopDownGenerateTarget(TopDownTransform):
         target = np.zeros((num_joints, h, w), dtype=np.float32)
 
         tmp_size = self.sigma * 3
-        size = int(2 * tmp_size + 1)
+        # float size semantics: the kernel grid has ceil(size) samples and
+        # its peak sits at the float floor-half — for fractional sigma the
+        # patch is one sample longer than int(size) would give
+        size = 2 * tmp_size + 1
         x = np.arange(0, size, 1, np.float32)
         y = x[:, None]
         x0 = y0 = size // 2
