@@ -82,12 +82,17 @@ class ViT(Backbone):
         n, h, w, c = x.shape
         x = x.reshape(n, h * w, c)
 
+        # Stored as a (1, gh, gw, c) grid so checkpoints self-describe their
+        # token layout; a checkpoint trained at another resolution is
+        # bilinearly resized onto this grid at load time
+        # (utils/checkpoint.py:load_pretrained_backbone, ViTPose §3 /
+        # standard ViT fine-tuning practice).
         pos = self.param(
             "pos_embedding",
             nn.initializers.normal(stddev=0.02),
-            (1, h * w, c),
+            (1, h, w, c),
         )
-        x = x + pos.astype(self.dtype)
+        x = x + pos.reshape(1, h * w, c).astype(self.dtype)
 
         for i in range(self.depth):
             x = EncoderBlock(

@@ -82,8 +82,29 @@ def load_pretrained_backbone(
                     out[k] = v
             else:
                 s = src.get(k)
-                if s is not None and getattr(s, "shape", None) == v.shape:
+                s_shape = getattr(s, "shape", None)
+                if s is not None and s_shape == v.shape:
                     out[k] = s
+                    n_loaded += 1
+                elif (
+                    k == "pos_embedding"
+                    and s_shape is not None
+                    and len(s_shape) == len(v.shape) == 4
+                    and s_shape[-1] == v.shape[-1]
+                ):
+                    # A ViT position-embedding grid trained at another
+                    # resolution: bilinearly resize onto the target token
+                    # grid (ViTPose §3 fine-tuning practice) instead of
+                    # silently dropping it.
+                    import jax.numpy as jnp
+
+                    resized = jax.image.resize(
+                        jnp.asarray(s, jnp.float32), v.shape,
+                        method="bilinear")
+                    out[k] = jax.device_get(resized).astype(v.dtype)
+                    logging.info(
+                        "Interpolated pos_embedding %s -> %s",
+                        tuple(s_shape), tuple(v.shape))
                     n_loaded += 1
                 else:
                     out[k] = v

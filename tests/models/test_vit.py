@@ -33,15 +33,48 @@ def test_vitpose_network_composes_with_simple_baseline_head():
     assert out.shape == (1, 32, 24, 17)
 
 
-def test_vit_position_embedding_is_resolution_locked():
-    """Different input resolution -> different pos-embedding shape: init must
-    bind to the train resolution (documented ViTPose behavior)."""
+def test_vit_position_embedding_grid_tracks_resolution():
+    """Pos embedding is stored as a (1, gh, gw, c) grid bound to the init
+    resolution — the grid shape is what load-time interpolation keys on."""
     net = mp.models.model_factory.create_backbone("vit_s", dtype=jnp.float32)
     v64 = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 48, 3)), train=False)
     v128 = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 48, 3)), train=False)
     s64 = v64["params"]["pos_embedding"].shape
     s128 = v128["params"]["pos_embedding"].shape
-    assert s64 == (1, 12, 384) and s128 == (1, 24, 384)
+    assert s64 == (1, 4, 3, 384) and s128 == (1, 8, 3, 384)
+
+
+def test_vit_pos_embedding_interpolates_on_load(tmp_path):
+    """A checkpoint trained at one resolution loads at another: the pos grid
+    is bilinearly resized (utils/checkpoint.py), every other tensor copied."""
+    from flax import serialization
+
+    from mindpose_tpu.utils.checkpoint import load_pretrained_backbone
+
+    net = mp.create_network("vit_s", "simple_baseline_head", dtype=jnp.float32)
+    v_small = jax.device_get(
+        net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 48, 3)), train=False))
+    path = str(tmp_path / "vit_small_res.msgpack")
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(jax.device_get(v_small)))
+
+    v_big = jax.device_get(
+        net.init(jax.random.PRNGKey(1), jnp.zeros((1, 128, 48, 3)), train=False))
+    loaded = load_pretrained_backbone(path, v_big)
+
+    pos = loaded["params"]["backbone"]["pos_embedding"]
+    assert pos.shape == (1, 8, 3, 384)
+    src = np.asarray(v_small["params"]["backbone"]["pos_embedding"],
+                     np.float32)
+    ref = np.asarray(jax.image.resize(src, (1, 8, 3, 384), "bilinear"))
+    np.testing.assert_allclose(np.asarray(pos), ref, atol=1e-6)
+    # non-pos tensors are straight copies
+    np.testing.assert_array_equal(
+        loaded["params"]["backbone"]["patch_embed"]["kernel"],
+        v_small["params"]["backbone"]["patch_embed"]["kernel"])
+    # and the interpolated tree runs at the new resolution
+    out = net.apply(loaded, jnp.zeros((1, 128, 48, 3)), train=False)
+    assert np.all(np.isfinite(np.asarray(out)))
 
 
 def test_vit_train_step_decreases_loss():
