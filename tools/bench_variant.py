@@ -1,6 +1,10 @@
 """Quick train-step throughput comparison across model/config variants."""
 import argparse, os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from common.platform import apply_platform_env
+
+apply_platform_env()
 import jax, jax.numpy as jnp, numpy as np
 from mindpose_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()

@@ -14,6 +14,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from common.platform import apply_platform_env
+
+apply_platform_env()
+
 import cv2
 import jax
 import jax.numpy as jnp

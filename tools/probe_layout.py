@@ -6,6 +6,10 @@ transfers run ~25 MB/s here and would dominate).
 """
 import os, sys, time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from common.platform import apply_platform_env
+
+apply_platform_env()
 import jax, jax.numpy as jnp, numpy as np
 from jax import lax
 from mindpose_tpu.utils.cache import enable_compilation_cache

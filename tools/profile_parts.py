@@ -15,6 +15,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from common.platform import apply_platform_env
+
+apply_platform_env()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
