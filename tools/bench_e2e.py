@@ -1,0 +1,251 @@
+"""Sustained end-to-end training throughput: real loader feeding real steps.
+
+Measures what BENCH's synthetic-step number deliberately excludes — JPEG
+decode, host transforms, batching, host->device transfer — by running whole
+epochs of the flagship recipe's input pipeline into the jitted train step and
+timing wall-clock per epoch (the step bench times pre-staged device arrays
+only; the reference's analogue is `dataset_sink_mode=True` pipelining,
+/root/reference/tools/train.py:233).
+
+Modes (the `device_pipeline` knob in tools/train.py):
+  host    host does decode+warp+encode+normalize (device_pipeline: false)
+  encode  host stops at the affine crop; normalize+target-encode fuse into
+          the step (device_pipeline: true)
+  full    host stops at JPEG decode; warp+normalize+encode on device
+          (device_pipeline: full)
+
+Example (real TPU, serialized with any other chip user):
+  python tools/bench_e2e.py --modes host,encode,full --num-images 96
+"""
+import argparse
+import json
+import logging
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from common.platform import apply_platform_env
+
+apply_platform_env()
+
+import numpy as np
+
+from mindpose_tpu.utils.cache import enable_compilation_cache
+from tools.common.log import setup_default_logging
+
+MODES = ("host", "encode", "full")
+
+TRAIN_TRANSFORMS = [
+    "topdown_box_to_center_scale",
+    {"topdown_horizontal_random_flip": {"flip_prob": 0.5}},
+    {"topdown_halfbody_transform": {"prob_half_body": 0.3,
+                                    "scale_padding": 1.5}},
+    {"topdown_randomscale_rotation": {"rot_factor": 40, "scale_factor": 0.5,
+                                      "rot_prob": 0.6}},
+    "topdown_affine",
+    {"topdown_generate_target": {"sigma": 2.0}},
+]
+DATASET_SETTING = {
+    "image_size": [192, 256],
+    "heatmap_size": [48, 64],
+    "pixel_std": 200.0,
+    "scale_padding": 1.25,
+    "det_bbox_thr": 0.0,
+    "flip_pairs": [[1, 2], [3, 4], [5, 6], [7, 8], [9, 10], [11, 12],
+                   [13, 14], [15, 16]],
+    "upper_body_ids": list(range(11)),
+}
+MEAN = [0.485, 0.456, 0.406]
+STD = [0.229, 0.224, 0.225]
+
+
+def make_synth_coco(root: str, num_images: int, people_per_img: int = 8,
+                    hw=(480, 640), seed: int = 0):
+    """Write a COCO-shaped synthetic set with realistic VGA-ish JPEGs.
+
+    Top-down record count = num_images * people_per_img; each record decodes
+    its full frame, like real COCO training, so host cost is representative.
+    """
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    h, w = hw
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, num_images + 1):
+        img = rng.randint(0, 255, size=(h, w, 3), dtype=np.uint8)
+        for p in range(people_per_img):
+            x0 = int(rng.randint(0, w - 180))
+            y0 = int(rng.randint(0, h - 260))
+            bw, bh = 160, 240
+            kpts = []
+            for k in range(17):
+                kpts.extend([float(x0 + 10 + (k % 4) * 40),
+                             float(y0 + 10 + (k // 4) * 50), 2])
+            annotations.append({
+                "id": ann_id, "image_id": img_id, "category_id": 1,
+                "bbox": [float(x0), float(y0), float(bw), float(bh)],
+                "area": float(bw * bh), "iscrowd": 0, "keypoints": kpts,
+                "num_keypoints": 17,
+            })
+            ann_id += 1
+        fname = f"{img_id:012d}.jpg"
+        cv2.imwrite(os.path.join(img_dir, fname), img)
+        images.append({"id": img_id, "file_name": fname,
+                       "height": h, "width": w})
+    ann_path = os.path.join(root, "annotations.json")
+    with open(ann_path, "w") as f:
+        json.dump({
+            "images": images, "annotations": annotations,
+            "categories": [{"id": 1, "name": "person",
+                            "keypoints": ["k%d" % i for i in range(17)],
+                            "skeleton": []}],
+        }, f)
+    return img_dir, ann_path
+
+
+def build_loader(mode: str, img_root: str, ann: str, batch_size: int,
+                 num_workers: int):
+    from mindpose_tpu.data import create_dataset, create_pipeline
+
+    ds = create_dataset(img_root, ann, dataset_format="coco_topdown",
+                        is_train=True, num_workers=num_workers,
+                        config=DATASET_SETTING)
+    transforms = list(TRAIN_TRANSFORMS)
+    preprocess = None
+    final_columns = None
+    image_bucket = None
+    if mode in ("encode", "full"):
+        from mindpose_tpu.data.device_pipeline import (
+            DEVICE_FINAL_COLUMNS,
+            DEVICE_FULL_FINAL_COLUMNS,
+            build_topdown_full_preprocess,
+            build_topdown_preprocess,
+            strip_host_target_transform,
+            to_matrix_transforms,
+        )
+
+        transforms, target_kwargs = strip_host_target_transform(transforms)
+        pp_kwargs = dict(
+            image_size=DATASET_SETTING["image_size"],
+            heatmap_size=DATASET_SETTING["heatmap_size"],
+            normalize_mean=MEAN, normalize_std=STD, **target_kwargs)
+        if mode == "full":
+            transforms = to_matrix_transforms(transforms)
+            preprocess = build_topdown_full_preprocess(**pp_kwargs)
+            final_columns = DEVICE_FULL_FINAL_COLUMNS
+            image_bucket = 64
+        else:
+            preprocess = build_topdown_preprocess(**pp_kwargs)
+            final_columns = DEVICE_FINAL_COLUMNS
+    loader = create_pipeline(
+        ds, transforms=transforms, method="topdown", batch_size=batch_size,
+        is_train=True, normalize=(mode == "host"), normalize_mean=MEAN,
+        normalize_std=STD, num_workers=num_workers, config=DATASET_SETTING,
+        seed=0, final_columns=final_columns, image_bucket=image_bucket)
+    cols = final_columns or ["image", "target", "target_weight"]
+    return loader, preprocess, cols
+
+
+def measure_e2e(mode: str, img_root: str, ann: str, batch_size: int = 128,
+                epochs: int = 3, num_workers: int = 8,
+                backbone: str = "hrnet_w32", head: str = "hrnet_head") -> dict:
+    """Wall-clock epochs of loader -> device -> step; img/s over epochs >= 2."""
+    import jax
+    import jax.numpy as jnp
+
+    import mindpose_tpu as mp
+    from mindpose_tpu.optim import create_optimizer
+    from mindpose_tpu.parallel import (
+        build_train_step,
+        create_mesh,
+        create_train_state,
+        shard_batch,
+    )
+
+    devices = jax.devices()
+    mesh = create_mesh() if len(devices) > 1 else None
+    loader, preprocess, cols = build_loader(mode, img_root, ann, batch_size,
+                                            num_workers)
+    net = mp.create_network(backbone, head, dtype=jnp.bfloat16)
+    loss = mp.create_loss("joint_mse", use_target_weight=True)
+    nwl = mp.create_network_with_loss(net, loss, has_extra_inputs=True)
+    variables = net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 256, 192, 3), jnp.float32), train=False)
+    tx = create_optimizer(variables["params"], "adamw", learning_rate=1e-3,
+                          weight_decay=0.05)
+    state = create_train_state(variables, tx)
+    step_fn = build_train_step(nwl, tx, mesh=mesh, preprocess=preprocess)
+
+    epoch_rates = []
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        n = 0
+        for batch in loader:
+            arrays = shard_batch(
+                [np.ascontiguousarray(batch[c]) for c in cols], mesh)
+            state, loss_vec = step_fn(state, *arrays)
+            n += len(batch[cols[0]])
+        # value fetch = the only true barrier over the axon tunnel
+        _ = np.asarray(loss_vec)
+        dt = time.perf_counter() - t0
+        rate = n / dt
+        logging.info("[%s] epoch %d: %d imgs in %.2fs -> %.1f img/s%s",
+                     mode, epoch, n, dt, rate,
+                     " (compile epoch, excluded)" if epoch == 0 else "")
+        if epoch > 0:
+            epoch_rates.append(rate)
+    return {
+        "mode": mode,
+        "e2e_images_per_sec": round(max(epoch_rates), 1),
+        "epoch_rates": [round(r, 1) for r in epoch_rates],
+        "batch_size": batch_size,
+        "records_per_epoch": n,
+    }
+
+
+def main() -> None:
+    setup_default_logging()
+    enable_compilation_cache()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--modes", default="host,encode,full")
+    p.add_argument("--num-images", type=int, default=96,
+                   help="synthetic frames (x8 persons = records/epoch)")
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--data-root", default="",
+                   help="use an existing image root instead of synthesizing")
+    p.add_argument("--ann", default="")
+    p.add_argument("--backbone", default="hrnet_w32")
+    p.add_argument("--head", default="hrnet_head")
+    args = p.parse_args()
+
+    if args.data_root and args.ann:
+        img_root, ann = args.data_root, args.ann
+    else:
+        root = tempfile.mkdtemp(prefix="bench_e2e_")
+        logging.info("writing %d synthetic VGA frames under %s",
+                     args.num_images, root)
+        img_root, ann = make_synth_coco(root, args.num_images)
+
+    results = []
+    for mode in args.modes.split(","):
+        mode = mode.strip()
+        assert mode in MODES, f"unknown mode {mode!r}"
+        results.append(measure_e2e(
+            mode, img_root, ann, batch_size=args.batch_size,
+            epochs=args.epochs, num_workers=args.num_workers,
+            backbone=args.backbone, head=args.head))
+        print(json.dumps(results[-1]), flush=True)
+    print(json.dumps({"e2e_summary": {r["mode"]: r["e2e_images_per_sec"]
+                                      for r in results}}))
+
+
+if __name__ == "__main__":
+    main()
