@@ -9,6 +9,13 @@ loading one on a different host generation risks SIGILL (XLA logs a
 feature-mismatch error). The cache path therefore includes a host ISA
 fingerprint, so heterogeneous hosts sharing one cache directory (NFS, a
 reused CI volume) each get their own namespace.
+
+Note: XLA's cpu_aot_loader still logs a feature-mismatch error for
+``+prefer-no-scatter``/``+prefer-no-gather`` even on a same-host cache hit —
+those are LLVM *tuning* preferences baked into the compile-time feature
+string but never present in the loader's host-detection list. When they are
+the only differences the warning is cosmetic (identical ISA, no SIGILL
+risk); real generation mismatches are what the fingerprint prevents.
 """
 import hashlib
 import logging
@@ -20,20 +27,37 @@ _DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "mindpose_tpu_xla
 
 
 def host_fingerprint() -> str:
-    """Short stable hash of this host's CPU ISA feature set."""
+    """Short stable hash of this host's CPU identity.
+
+    Includes the model name, not just the cpuinfo flag set: distinct CPU
+    generations can expose identical kernel flag lists while LLVM derives
+    different tuning features (e.g. ``prefer-no-gather``) from cpuid, which
+    is exactly the AOT feature-mismatch the cache key must separate. The
+    jax version is included too — AOT serialization is not stable across it.
+    """
+    parts = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                if line.startswith("model name") and len(parts) == 0:
+                    parts.append(line.split(":", 1)[1].strip())
+                elif line.startswith("flags"):
+                    parts.append(
+                        " ".join(sorted(line.split(":", 1)[1].split())))
                     break
-            else:
-                feats = ""
     except OSError:
+        pass
+    if not parts:
         import platform
 
-        feats = platform.processor() or platform.machine()
-    return hashlib.sha1(feats.encode()).hexdigest()[:12]
+        parts = [platform.processor() or platform.machine()]
+    try:
+        import jax
+
+        parts.append(jax.__version__)
+    except Exception:
+        pass
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(cache_dir: str = None) -> None:
