@@ -2,10 +2,12 @@
 
 Parity: /root/reference/mindpose/data/dataset/coco_bottomup.py:15-189, using
 the in-repo COCO container and RLE/polygon rasterization (cv2) instead of
-pycocotools.mask.
+pycocotools.mask. Records carry all persons of an image at once (bottom-up),
+a validity mask blanking crowd / keypointless regions, and per-level copies
+for the multi-resolution HigherHRNet targets.
 """
 import os
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List
 
 import cv2
 import numpy as np
@@ -18,91 +20,81 @@ from .bottomup import BottomUpDataset
 @register("dataset", extra_name="coco_bottomup")
 class COCOBottomUpDataset(BottomUpDataset):
     def load_dataset_cfg(self) -> Dict[str, Any]:
+        c = self.config
         return {
-            "sigma": float(self.config["sigma"]),
-            "heatmap_sizes": self.config["heatmap_sizes"],
-            "expand_mask": self.config["expand_mask"],
+            "sigma": float(c["sigma"]),
+            "heatmap_sizes": c["heatmap_sizes"],
+            "expand_mask": c["expand_mask"],
         }
+
+    @property
+    def _num_levels(self) -> int:
+        return len(self._dataset_cfg["heatmap_sizes"])
 
     def load_dataset(self) -> List[Dict[str, Any]]:
         self.coco = COCO(self.annotation_file)
         self.id2name, self.name2id = image_id_name_maps(self.coco.imgs)
-        return self._load_coco_keypoint_annotations()
-
-    def _load_coco_keypoint_annotations(self) -> List[Dict[str, Any]]:
         self.img_ids = self.coco.getImgIds()
-        gt_db = []
+        records = []
         for img_id in self.img_ids:
-            if self.is_train:
-                # skip images without annotations
-                if len(self.coco.getAnnIds(imgIds=img_id)) == 0:
-                    continue
-            gt_db.append(self._load_coco_keypoint_annotations_per_img(img_id))
-        return gt_db
+            anns = self.coco.loadAnns(self.coco.getAnnIds(imgIds=img_id))
+            if self.is_train and not anns:
+                continue  # nothing to supervise on this frame
+            records.append(self._build_record(img_id, anns))
+        return records
 
-    def _load_coco_keypoint_annotations_per_img(self, img_id: int) -> Dict[str, Any]:
-        ann_ids = self.coco.getAnnIds(imgIds=img_id)
-        annos = self.coco.loadAnns(ann_ids)
+    def _build_record(self, img_id: int, anns: List[dict]) -> Dict[str, Any]:
+        info = self.coco.loadImgs(img_id)[0]
+        mask_info = self._validity_mask(anns, info["height"], info["width"])
 
-        mask_info = self._get_encoded_mask(annos, img_id)
-        annos = [
-            obj for obj in annos if obj.get("iscrowd", 0) == 0 or obj["num_keypoints"] > 0
-        ]
+        # crowd regions with no labeled keypoints are masked out above, not
+        # regressed against (ref :93-95)
+        people = [a for a in anns
+                  if not (a.get("iscrowd", 0) and a["num_keypoints"] == 0)]
+        if people:
+            kpts = np.stack([np.asarray(a["keypoints"], np.float64)
+                             .reshape(-1, 3) for a in people])
+            xywh = np.stack([np.asarray(a["bbox"], np.float64)
+                             for a in people])
+            corners = np.concatenate(
+                [xywh[:, :2], xywh[:, :2] + xywh[:, 2:4]], axis=-1
+            ).reshape(-1, 2, 2)
+        else:
+            kpts = np.zeros((1, self.num_joints, 3))
+            corners = np.zeros((1, 2, 2))
+
         return {
             "image_file": os.path.join(self.image_root, self.id2name[img_id]),
-            "keypoints": self._get_keypoints(annos),
-            "boxes": self._get_boxes(annos),
+            # one keypoint copy per heatmap level: [levels, M, K, 3]
+            "keypoints": np.tile(kpts[None], (self._num_levels, 1, 1, 1)),
+            "boxes": corners,  # [M, 2, 2] xyxy
             "mask_info": mask_info,
         }
 
-    def _get_keypoints(self, annos: List[Dict[str, Any]]) -> np.ndarray:
-        """[levels, M, K, 3] keypoints (tiled per heatmap level)."""
-        if len(annos) == 0:
-            keypoints = np.zeros((1, self.num_joints, 3))
-        else:
-            keypoints = np.stack(
-                [np.array(x["keypoints"]).reshape((-1, 3)) for x in annos], axis=0
-            )
-        num_levels = len(self._dataset_cfg["heatmap_sizes"])
-        return np.tile(keypoints[None, ...], (num_levels, 1, 1, 1))
+    def _validity_mask(self, anns: List[dict], height: int,
+                       width: int) -> Dict[str, Any]:
+        """Bit-packed per-level mask of pixels the loss may supervise.
 
-    def _get_boxes(self, annos: List[Dict[str, Any]]) -> np.ndarray:
-        """[M, 2, 2] xyxy boxes."""
-        if len(annos) == 0:
-            return np.zeros((1, 2, 2))
-        boxes = np.stack([np.array(x["bbox"]) for x in annos], axis=0)
-        boxes[..., 2] += boxes[..., 0]
-        boxes[..., 3] += boxes[..., 1]
-        return boxes.reshape((-1, 2, 2))
-
-    def _get_encoded_mask(
-        self, annos: List[Dict[str, Any]], idx: int
-    ) -> Dict[str, Any]:
-        """Bit-packed validity mask excluding crowd / zero-keypoint regions,
-        optionally eroded by a 3-sigma circle per level (ref :146-189)."""
-        img_info = self.coco.loadImgs(idx)[0]
-        height, width = img_info["height"], img_info["width"]
-
-        m = np.zeros((height, width), dtype=np.float32)
-        for obj in annos:
-            if "segmentation" in obj and obj["segmentation"]:
-                if obj.get("iscrowd", 0):
-                    m += annotation_to_mask(obj["segmentation"], height, width)
-                elif obj["num_keypoints"] == 0:
-                    m += annotation_to_mask(obj["segmentation"], height, width)
-
-        m = m < 0.5
-
-        num_levels = len(self._dataset_cfg["heatmap_sizes"])
-        m = np.tile(m[None, ...], (num_levels, 1, 1))
+        Crowd segments and segments with zero labeled keypoints are blanked;
+        with ``expand_mask`` each level's mask is additionally eroded by a
+        3-sigma disk at that level's stride so Gaussian tails near blanked
+        regions don't leak gradient (ref :146-189).
+        """
+        blocked = np.zeros((height, width), np.float32)
+        for a in anns:
+            seg = a.get("segmentation")
+            if seg and (a.get("iscrowd", 0) or a["num_keypoints"] == 0):
+                blocked += annotation_to_mask(seg, height, width)
+        valid = np.tile(blocked[None] < 0.5, (self._num_levels, 1, 1))
 
         if self._dataset_cfg["expand_mask"]:
             sigma = self._dataset_cfg["sigma"]
-            for i in range(num_levels):
-                size = int(3 * sigma * (2 ** (num_levels - i)))
-                kernel = np.zeros((2 * size + 1, 2 * size + 1), dtype=np.uint8)
-                cv2.circle(kernel, (size, size), size, 1, -1)
-                m[i] = cv2.erode(m[i].astype(np.uint8), kernel).astype(bool)
+            for lvl in range(self._num_levels):
+                r = int(3 * sigma * (2 ** (self._num_levels - lvl)))
+                disk = np.zeros((2 * r + 1, 2 * r + 1), np.uint8)
+                cv2.circle(disk, (r, r), r, 1, -1)
+                valid[lvl] = cv2.erode(
+                    valid[lvl].astype(np.uint8), disk).astype(bool)
 
-        encoded = np.packbits(m)
-        return {"encoded_mask": encoded, "count": m.size, "shape": m.shape}
+        return {"encoded_mask": np.packbits(valid), "count": valid.size,
+                "shape": valid.shape}
