@@ -64,7 +64,14 @@ def enable_compilation_cache(cache_dir: str = None) -> None:
     import jax
 
     cache_dir = cache_dir or os.environ.get("MINDPOSE_XLA_CACHE", _DEFAULT_DIR)
-    cache_dir = os.path.join(cache_dir, host_fingerprint())
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    if backend == "cpu":
+        # only CPU AOT results bake in host ISA features; TPU executables
+        # are host-independent and should share one cache across hosts
+        cache_dir = os.path.join(cache_dir, host_fingerprint())
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -1,0 +1,267 @@
+"""Paired-seed accuracy ablations on the synthetic-COCO benchmark.
+
+Round-2 claimed UDP > plain from one seed per arm, on a val set whose
+seed-to-seed spread exceeded the claimed margin. This tool makes such claims
+statistical: every arm trains under the SAME data order / augmentation draws
+/ init key per seed (paired control), across >= 3 seeds, on an enlarged,
+more crowded val split; it reports per-seed paired deltas and mean +/- spread
+per arm. Matches the reference's published-delta methodology for UDP
+(/root/reference/configs/udp/README.md:17-21) at synthetic scale.
+
+Example (real TPU, serialized with any other chip user):
+    python tools/ablate_accuracy.py --arms plain,udp --seeds 0,1,2 \
+        --epochs 150 --out docs/ablation_udp_r3.json
+"""
+import argparse
+import json
+import logging
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from common.platform import apply_platform_env
+
+apply_platform_env()
+
+import numpy as np
+
+from mindpose_tpu.utils.cache import enable_compilation_cache
+from tools.common.log import setup_default_logging
+from tools.make_synthetic_coco import generate_split
+
+DATASET_SETTING = {
+    "image_size": [192, 256],
+    "heatmap_size": [48, 64],
+    "pixel_std": 200.0,
+    "scale_padding": 1.25,
+    "det_bbox_thr": 0.0,
+    "flip_pairs": [[1, 2], [3, 4], [5, 6], [7, 8], [9, 10], [11, 12],
+                   [13, 14], [15, 16]],
+    "upper_body_ids": list(range(11)),
+}
+EVAL_SETTING = {
+    "has_heatmap_output": True,
+    "hflip_tta": False,
+    "shift_heatmap": False,
+    "vis_thr": 0.2,
+    "oks_thr": 0.9,
+    "use_nms": True,
+    "soft_nms": False,
+    "sigmas": [0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072,
+               0.072, 0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089,
+               0.089],
+}
+
+# arm -> (train transforms, [(eval label, decoder kwargs), ...]).
+# "+DARK" re-decodes the SAME checkpoint, so its delta is optimizer-noise-free.
+ARMS = {
+    "plain": (
+        [
+            "topdown_box_to_center_scale",
+            {"topdown_horizontal_random_flip": {"flip_prob": 0.5}},
+            {"topdown_halfbody_transform": {"prob_half_body": 0.3,
+                                            "scale_padding": 1.5}},
+            {"topdown_randomscale_rotation": {"rot_factor": 40,
+                                              "scale_factor": 0.5,
+                                              "rot_prob": 0.6}},
+            "topdown_affine",
+            {"topdown_generate_target": {"sigma": 2.0}},
+        ],
+        [("plain", {"shift_coordinate": False})],
+    ),
+    "udp": (
+        [
+            "topdown_box_to_center_scale",
+            {"topdown_horizontal_random_flip": {"flip_prob": 0.5}},
+            {"topdown_halfbody_transform": {"prob_half_body": 0.3,
+                                            "scale_padding": 1.5}},
+            {"topdown_randomscale_rotation": {"rot_factor": 40,
+                                              "scale_factor": 0.5,
+                                              "rot_prob": 0.6}},
+            {"topdown_affine": {"use_udp": True}},
+            {"topdown_generate_target": {"sigma": 2.0, "use_udp": True}},
+        ],
+        [
+            ("udp", {"use_udp": True, "dark_udp_refine": False,
+                     "kernel_size": 11}),
+            ("udp+dark", {"use_udp": True, "dark_udp_refine": True,
+                          "kernel_size": 11}),
+        ],
+    ),
+}
+
+
+def make_data(root: str, train_images: int, val_images: int,
+              people: int) -> dict:
+    paths = {}
+    for split, n, seed in (("train", train_images, 0), ("val", val_images, 1)):
+        sroot = os.path.join(root, split)
+        generate_split(sroot, n, seed=seed, people_per_img=people)
+        paths[split] = (os.path.join(sroot, "images"),
+                        os.path.join(sroot, "annotations.json"))
+    return paths
+
+
+def train_arm(arm: str, seed: int, data: dict, epochs: int, batch_size: int,
+              backbone: str, head: str):
+    import jax
+    import jax.numpy as jnp
+
+    import mindpose_tpu as mp
+    from mindpose_tpu.data import create_dataset, create_pipeline
+    from mindpose_tpu.optim import create_optimizer
+    from mindpose_tpu.parallel import build_train_step, create_train_state
+
+    transforms, _ = ARMS[arm]
+    img_root, ann = data["train"]
+    ds = create_dataset(img_root, ann, dataset_format="coco_topdown",
+                        is_train=True, config=DATASET_SETTING)
+    loader = create_pipeline(ds, transforms, method="topdown",
+                             batch_size=batch_size, is_train=True,
+                             config=DATASET_SETTING, seed=seed,
+                             normalize=True)
+
+    net = mp.create_network(backbone, head, dtype=jnp.bfloat16)
+    loss = mp.create_loss("joint_mse", use_target_weight=True)
+    nwl = mp.create_network_with_loss(net, loss, has_extra_inputs=True)
+    variables = net.init(jax.random.PRNGKey(seed),
+                         jnp.zeros((1, 256, 192, 3), jnp.float32), train=False)
+    tx = create_optimizer(variables["params"], "adamw", learning_rate=1e-3,
+                          weight_decay=0.05)
+    state = create_train_state(variables, tx)
+    step_fn = build_train_step(nwl, tx, mesh=None)
+
+    t0 = time.perf_counter()
+    for epoch in range(epochs):
+        for batch in loader:
+            state, lv = step_fn(
+                state, jnp.asarray(batch["image"]),
+                jnp.asarray(batch["target"]),
+                jnp.asarray(batch["target_weight"]))
+        if (epoch + 1) % 25 == 0:
+            logging.info("[%s seed=%d] epoch %d/%d loss=%.5f (%.0fs)",
+                         arm, seed, epoch + 1, epochs,
+                         float(np.asarray(lv).mean()),
+                         time.perf_counter() - t0)
+    return net, state
+
+
+def eval_checkpoint(net, state, data: dict, decoder_kwargs: dict) -> dict:
+    import mindpose_tpu as mp
+    from mindpose_tpu.data import create_dataset, create_pipeline
+    from mindpose_tpu.engine import create_evaluator, create_inferencer
+
+    img_root, ann = data["val"]
+    vds = create_dataset(img_root, ann, dataset_format="coco_topdown",
+                         is_train=False, config=DATASET_SETTING,
+                         use_gt_bbox_for_val=True)
+    val_transforms = [
+        "topdown_box_to_center_scale",
+        {"topdown_affine": {"use_udp": decoder_kwargs.get("use_udp", False)}},
+    ]
+    vloader = create_pipeline(vds, val_transforms, method="topdown",
+                              batch_size=32, is_train=False,
+                              config=DATASET_SETTING, normalize=True)
+    decoder = mp.create_decoder("topdown_heatmap", **decoder_kwargs)
+    eval_net = mp.create_eval_network(net, decoder, output_raw=True)
+    inferencer = create_inferencer(eval_net, name="topdown_heatmap",
+                                   config=EVAL_SETTING,
+                                   dataset_config=DATASET_SETTING)
+    with tempfile.TemporaryDirectory() as td:
+        evaluator = create_evaluator(
+            ann, name="topdown", metric=["AP"], config=EVAL_SETTING,
+            dataset_config=DATASET_SETTING,
+            result_path=os.path.join(td, "result.json"))
+        records = inferencer(vloader, variables={
+            "params": state.params, "batch_stats": state.batch_stats})
+        return evaluator(records)
+
+
+def summarize(runs: list) -> dict:
+    by_label = {}
+    for r in runs:
+        by_label.setdefault(r["label"], []).append(r["AP"])
+    summary = {
+        label: {"mean": round(float(np.mean(v)), 4),
+                "std": round(float(np.std(v)), 4),
+                "n": len(v), "aps": v}
+        for label, v in by_label.items()
+    }
+    # paired per-seed deltas vs the plain arm, the statistic that matters
+    plain = {r["seed"]: r["AP"] for r in runs if r["label"] == "plain"}
+    for label in by_label:
+        if label == "plain" or not plain:
+            continue
+        deltas = [r["AP"] - plain[r["seed"]] for r in runs
+                  if r["label"] == label and r["seed"] in plain]
+        if deltas:
+            summary[label]["paired_delta_vs_plain"] = {
+                "mean": round(float(np.mean(deltas)), 4),
+                "std": round(float(np.std(deltas)), 4),
+                "per_seed": [round(d, 4) for d in deltas],
+            }
+    return summary
+
+
+def main() -> None:
+    setup_default_logging()
+    enable_compilation_cache()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--arms", default="plain,udp")
+    p.add_argument("--seeds", default="0,1,2")
+    p.add_argument("--epochs", type=int, default=150)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--train-images", type=int, default=160)
+    p.add_argument("--val-images", type=int, default=240)
+    p.add_argument("--people", type=int, default=3)
+    p.add_argument("--backbone", default="hrnet_w32")
+    p.add_argument("--head", default="hrnet_head")
+    p.add_argument("--data-root", default="",
+                   help="reuse an existing generated root")
+    p.add_argument("--out", default="", help="write the JSON report here")
+    args = p.parse_args()
+
+    root = args.data_root or tempfile.mkdtemp(prefix="ablate_acc_")
+    if not os.path.exists(os.path.join(root, "train")):
+        logging.info("generating synthetic data under %s (%d train / %d val, "
+                     "%d people/frame)", root, args.train_images,
+                     args.val_images, args.people)
+    data = make_data(root, args.train_images, args.val_images, args.people)
+
+    runs = []
+    for seed in [int(s) for s in args.seeds.split(",")]:
+        for arm in args.arms.split(","):
+            arm = arm.strip()
+            net, state = train_arm(arm, seed, data, args.epochs,
+                                   args.batch_size, args.backbone, args.head)
+            for label, dec_kwargs in ARMS[arm][1]:
+                result = eval_checkpoint(net, state, data, dec_kwargs)
+                rec = {"label": label, "arm": arm, "seed": seed,
+                       "AP": float(result["AP"]),
+                       "AP50": float(result.get("AP .5", -1)),
+                       "AR": float(result.get("AR", -1))}
+                runs.append(rec)
+                print(json.dumps(rec), flush=True)
+
+    report = {
+        "protocol": {
+            "train_images": args.train_images, "val_images": args.val_images,
+            "people_per_img": args.people, "epochs": args.epochs,
+            "batch_size": args.batch_size, "backbone": args.backbone,
+            "paired": "same loader seed + init key across arms per seed",
+        },
+        "runs": runs,
+        "summary": summarize(runs),
+    }
+    print(json.dumps({"summary": report["summary"]}, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        logging.info("wrote %s", args.out)
+
+
+if __name__ == "__main__":
+    main()
