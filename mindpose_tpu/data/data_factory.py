@@ -62,6 +62,7 @@ def create_pipeline(
     seed: int = 0,
     final_columns: Optional[List[str]] = None,
     image_bucket: Optional[int] = None,
+    decode_cache_mb: float = 0,
 ) -> DataLoader:
     """Build the transform pipeline and return a batched DataLoader.
 
@@ -129,6 +130,7 @@ def create_pipeline(
         rank_id=bundle.get("rank_id"),
         seed=seed,
         image_bucket=image_bucket,
+        decode_cache_mb=decode_cache_mb,
     )
 
 

@@ -14,13 +14,61 @@ loader designed for TPU feeding:
 """
 import queue
 import threading
+from collections import OrderedDict
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import cv2
 import numpy as np
 
-__all__ = ["DataLoader"]
+__all__ = ["DataLoader", "DecodedFrameCache"]
+
+
+class DecodedFrameCache:
+    """Byte-budgeted LRU of decoded RGB frames, shared across loader threads.
+
+    Top-down training decodes the SAME source frame once per person record
+    (COCO averages ~2, crowded scenes 8+), and every epoch re-decodes the
+    whole set. On TPU hosts where cores are scarce relative to chip appetite,
+    JPEG decode dominates the host pipeline; caching decoded frames converts
+    the steady-state decode cost to a memory lookup. Frames are stored
+    read-only so a transform mutating its input in place fails loudly
+    instead of corrupting other records sharing the frame.
+
+    The reference has no analogue — it assumes a many-core host behind
+    MindSpore's GeneratorDataset workers (ref data_factory.py:59-150).
+    """
+
+    def __init__(self, budget_mb: float) -> None:
+        self._budget = int(budget_mb * 1024 * 1024)
+        self._lock = threading.Lock()
+        self._frames: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, path: str) -> Optional[np.ndarray]:
+        with self._lock:
+            arr = self._frames.get(path)
+            if arr is None:
+                self.misses += 1
+            else:
+                self._frames.move_to_end(path)
+                self.hits += 1
+            return arr
+
+    def put(self, path: str, arr: np.ndarray) -> np.ndarray:
+        arr.setflags(write=False)
+        if arr.nbytes > self._budget:
+            return arr
+        with self._lock:
+            if path not in self._frames:
+                while self._bytes + arr.nbytes > self._budget and self._frames:
+                    _, old = self._frames.popitem(last=False)
+                    self._bytes -= old.nbytes
+                self._frames[path] = arr
+                self._bytes += arr.nbytes
+        return arr
 
 # --- process-worker machinery -----------------------------------------------
 # Threads cap at ~250 samples/s on the full top-down transform stack (the
@@ -31,7 +79,8 @@ __all__ = ["DataLoader"]
 _WORKER_STATE: Dict[str, Any] = {}
 
 
-def _process_worker_init(dataset, transforms, normalize, mean, std, seed):
+def _process_worker_init(dataset, transforms, normalize, mean, std, seed,
+                         decode_cache_mb=0):
     import os
 
     _WORKER_STATE["dataset"] = dataset
@@ -39,13 +88,15 @@ def _process_worker_init(dataset, transforms, normalize, mean, std, seed):
     _WORKER_STATE["normalize"] = normalize
     _WORKER_STATE["mean"] = mean
     _WORKER_STATE["std"] = std
+    _WORKER_STATE["cache"] = (
+        DecodedFrameCache(decode_cache_mb) if decode_cache_mb else None)
     np.random.seed((seed + os.getpid()) % (2**31))
     cv2.setNumThreads(1)
 
 
 def _process_worker_run(idx: int) -> Dict[str, Any]:
     state = _WORKER_STATE["dataset"][int(idx)]
-    state = _decode_image(state)
+    state = _decode_image(state, _WORKER_STATE.get("cache"))
     for t in _WORKER_STATE["transforms"]:
         state = t(state)
     if _WORKER_STATE["normalize"]:
@@ -55,12 +106,23 @@ def _process_worker_run(idx: int) -> Dict[str, Any]:
     return state
 
 
-def _decode_image(state: Dict[str, Any]) -> Dict[str, Any]:
+def _decode_image(
+    state: Dict[str, Any], cache: Optional[DecodedFrameCache] = None
+) -> Dict[str, Any]:
     """Read + decode the record's image file into an RGB uint8 HWC array."""
-    img = cv2.imread(state["image_file"], cv2.IMREAD_COLOR)
+    path = state["image_file"]
+    if cache is not None:
+        cached = cache.get(path)
+        if cached is not None:
+            state["image"] = cached
+            return state
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
-        raise FileNotFoundError(f"cannot read image: {state['image_file']}")
-    state["image"] = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        raise FileNotFoundError(f"cannot read image: {path}")
+    rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if cache is not None:
+        rgb = cache.put(path, rgb)
+    state["image"] = rgb
     return state
 
 
@@ -85,6 +147,7 @@ class DataLoader:
         prefetch_batches: int = 2,
         worker_mode: str = "thread",
         image_bucket: Optional[int] = None,
+        decode_cache_mb: float = 0,
     ) -> None:
         self.dataset = dataset
         self.transforms = list(transforms)
@@ -106,6 +169,9 @@ class DataLoader:
         # distinct compiled shapes; zero padding is warp-neutral since the
         # device warp zero-fills out-of-source samples anyway)
         self.image_bucket = image_bucket
+        self.decode_cache_mb = decode_cache_mb
+        self.decode_cache = (
+            DecodedFrameCache(decode_cache_mb) if decode_cache_mb else None)
         self.epoch = 0
 
         self._indices = np.arange(len(dataset))[self.rank_id :: self.device_num]
@@ -123,7 +189,7 @@ class DataLoader:
 
     def _process_one(self, idx: int) -> Dict[str, Any]:
         state = self.dataset[int(idx)]
-        state = _decode_image(state)
+        state = _decode_image(state, self.decode_cache)
         for t in self.transforms:
             state = t(state)
         if self.normalize:
@@ -166,7 +232,7 @@ class DataLoader:
                 initializer=_process_worker_init,
                 initargs=(
                     self.dataset, self.transforms, self.normalize,
-                    self.mean, self.std, self.seed,
+                    self.mean, self.std, self.seed, self.decode_cache_mb,
                 ),
             )
         return self._pool

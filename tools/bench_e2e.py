@@ -110,7 +110,7 @@ def make_synth_coco(root: str, num_images: int, people_per_img: int = 8,
 
 
 def build_loader(mode: str, img_root: str, ann: str, batch_size: int,
-                 num_workers: int):
+                 num_workers: int, decode_cache_mb: float = 0):
     from mindpose_tpu.data import create_dataset, create_pipeline
 
     ds = create_dataset(img_root, ann, dataset_format="coco_topdown",
@@ -154,7 +154,8 @@ def build_loader(mode: str, img_root: str, ann: str, batch_size: int,
 
 def measure_e2e(mode: str, img_root: str, ann: str, batch_size: int = 128,
                 epochs: int = 3, num_workers: int = 8,
-                backbone: str = "hrnet_w32", head: str = "hrnet_head") -> dict:
+                backbone: str = "hrnet_w32", head: str = "hrnet_head",
+                decode_cache_mb: float = 0) -> dict:
     """Wall-clock epochs of loader -> device -> step; img/s over epochs >= 2."""
     import jax
     import jax.numpy as jnp
@@ -171,7 +172,7 @@ def measure_e2e(mode: str, img_root: str, ann: str, batch_size: int = 128,
     devices = jax.devices()
     mesh = create_mesh() if len(devices) > 1 else None
     loader, preprocess, cols = build_loader(mode, img_root, ann, batch_size,
-                                            num_workers)
+                                            num_workers, decode_cache_mb)
     net = mp.create_network(backbone, head, dtype=jnp.bfloat16)
     loss = mp.create_loss("joint_mse", use_target_weight=True)
     nwl = mp.create_network_with_loss(net, loss, has_extra_inputs=True)
@@ -202,6 +203,7 @@ def measure_e2e(mode: str, img_root: str, ann: str, batch_size: int = 128,
             epoch_rates.append(rate)
     return {
         "mode": mode,
+        "decode_cache_mb": decode_cache_mb,
         "e2e_images_per_sec": round(max(epoch_rates), 1),
         "epoch_rates": [round(r, 1) for r in epoch_rates],
         "batch_size": batch_size,
@@ -224,6 +226,8 @@ def main() -> None:
     p.add_argument("--ann", default="")
     p.add_argument("--backbone", default="hrnet_w32")
     p.add_argument("--head", default="hrnet_head")
+    p.add_argument("--decode-cache-mb", type=float, default=0,
+                   help="decoded-frame LRU budget (MB); 0 disables")
     args = p.parse_args()
 
     if args.data_root and args.ann:
@@ -241,7 +245,8 @@ def main() -> None:
         results.append(measure_e2e(
             mode, img_root, ann, batch_size=args.batch_size,
             epochs=args.epochs, num_workers=args.num_workers,
-            backbone=args.backbone, head=args.head))
+            backbone=args.backbone, head=args.head,
+            decode_cache_mb=args.decode_cache_mb))
         print(json.dumps(results[-1]), flush=True)
     print(json.dumps({"e2e_summary": {r["mode"]: r["e2e_images_per_sec"]
                                       for r in results}}))

@@ -161,6 +161,7 @@ def train(args) -> None:
         seed=getattr(args, "seed", 0) or 0,
         final_columns=final_columns_override,
         image_bucket=image_bucket,
+        decode_cache_mb=getattr(args, "decode_cache_mb", 0) or 0,
     )
 
     val_while_train = getattr(args, "val_while_train", False)
