@@ -25,6 +25,7 @@ __all__ = [
     "normalize_source_keys",
     "backbone_mapping",
     "convert_backbone_state",
+    "export_backbone_state",
     "SUPPORTED_ARCHS",
 ]
 
@@ -327,6 +328,47 @@ def _set(tree: dict, path: Tuple[str, ...], leaf: str, value: np.ndarray):
     for p in path:
         node = node.setdefault(p, {})
     node[leaf] = value
+
+
+def export_backbone_state(
+    arch: str, variables: dict, naming: str = "torch"
+) -> Dict[str, np.ndarray]:
+    """Inverse of convert_backbone_state: flax trees -> torch/MS state dict.
+
+    Exports this framework's trained backbones to the published-checkpoint
+    ecosystem (and closes the loop for round-trip tests: export -> .ckpt ->
+    convert must be bit-exact). ``naming`` picks torch-style keys
+    ("layer1.0.bn1.weight") or MindSpore-style ("...bn1.gamma").
+    """
+    from flax.traverse_util import flatten_dict
+
+    if arch in VIT_ARCHS:
+        raise NotImplementedError("ViT export not implemented")
+    params = flatten_dict(variables.get("params", {}))
+    stats = flatten_dict(variables.get("batch_stats", {}))
+    ms = naming == "mindspore"
+    # (torch leaf, MS leaf) for BN tensors; conv .weight is .weight in both
+    bn_leaves = (("weight", "gamma"), ("bias", "beta"),
+                 ("running_mean", "moving_mean"),
+                 ("running_var", "moving_variance"))
+    out: Dict[str, np.ndarray] = {}
+
+    def emit(prefix: str, leaf: str, value: np.ndarray) -> None:
+        if ms:
+            prefix = prefix.replace(".downsample.", ".down_sample.")
+        out[f"{prefix}.{leaf}"] = np.asarray(value)
+
+    for kind, sp, fp in backbone_mapping(arch):
+        if kind == "conv":
+            w = params[fp + ("kernel",)]  # [kh, kw, I, O] -> [O, I, kh, kw]
+            emit(sp, "weight", np.transpose(w, (3, 2, 0, 1)))
+        else:
+            names = [m if ms else t for t, m in bn_leaves]
+            emit(sp, names[0], params[fp + ("scale",)])
+            emit(sp, names[1], params[fp + ("bias",)])
+            emit(sp, names[2], stats[fp + ("mean",)])
+            emit(sp, names[3], stats[fp + ("var",)])
+    return out
 
 
 def convert_backbone_state(

@@ -295,3 +295,26 @@ def test_convert_ckpt_cli(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.isfile(out)
+
+
+@pytest.mark.parametrize("naming", ["torch", "mindspore"])
+def test_export_convert_roundtrip(naming, tmp_path):
+    """flax init -> export -> .ckpt -> convert must be bit-exact."""
+    from mindpose_tpu.models.backbones.convert import export_backbone_state
+
+    init = _init_backbone("resnet50")
+    exported = export_backbone_state("resnet50", init, naming=naming)
+    leaf = "bn1.gamma" if naming == "mindspore" else "bn1.weight"
+    assert leaf in exported and "conv1.weight" in exported
+
+    ckpt = str(tmp_path / "export.ckpt")
+    write_ms_checkpoint(ckpt, exported)
+    variables, missing, unused = convert_backbone_state(
+        "resnet50", read_ms_checkpoint(ckpt))
+    assert missing == [] and unused == []
+
+    init_flat = flatten_dict(init)
+    got_flat = flatten_dict(variables)
+    assert set(got_flat) == set(init_flat)
+    for k in got_flat:
+        np.testing.assert_array_equal(got_flat[k], np.asarray(init_flat[k]))
