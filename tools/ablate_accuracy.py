@@ -106,7 +106,8 @@ def make_data(root: str, train_images: int, val_images: int,
 
 
 def train_arm(arm: str, seed: int, data: dict, epochs: int, batch_size: int,
-              backbone: str, head: str):
+              backbone: str, head: str, pretrained_path: str = "",
+              milestone_eval=None):
     import jax
     import jax.numpy as jnp
 
@@ -129,6 +130,11 @@ def train_arm(arm: str, seed: int, data: dict, epochs: int, batch_size: int,
     nwl = mp.create_network_with_loss(net, loss, has_extra_inputs=True)
     variables = net.init(jax.random.PRNGKey(seed),
                          jnp.zeros((1, 256, 192, 3), jnp.float32), train=False)
+    if pretrained_path:
+        from mindpose_tpu.utils.checkpoint import load_pretrained_backbone
+
+        variables = load_pretrained_backbone(pretrained_path,
+                                             jax.device_get(variables))
     tx = create_optimizer(variables["params"], "adamw", learning_rate=1e-3,
                           weight_decay=0.05)
     state = create_train_state(variables, tx)
@@ -146,6 +152,8 @@ def train_arm(arm: str, seed: int, data: dict, epochs: int, batch_size: int,
                          arm, seed, epoch + 1, epochs,
                          float(np.asarray(lv).mean()),
                          time.perf_counter() - t0)
+        if milestone_eval is not None:
+            milestone_eval(epoch + 1, net, state)
     return net, state
 
 
