@@ -116,14 +116,30 @@ def train_arm(arm: str, seed: int, data: dict, epochs: int, batch_size: int,
     from mindpose_tpu.optim import create_optimizer
     from mindpose_tpu.parallel import build_train_step, create_train_state
 
+    from mindpose_tpu.data.device_pipeline import (
+        DEVICE_FINAL_COLUMNS,
+        build_topdown_preprocess,
+        strip_host_target_transform,
+    )
+
+    # encode-mode device pipeline: host ships uint8 crops + raw keypoints,
+    # normalize + target-encode fuse into the jitted step (bit-parity tested
+    # incl. UDP; 4x less host->device traffic than normalized f32)
     transforms, _ = ARMS[arm]
+    transforms, target_kwargs = strip_host_target_transform(transforms)
+    preprocess = build_topdown_preprocess(
+        image_size=DATASET_SETTING["image_size"],
+        heatmap_size=DATASET_SETTING["heatmap_size"],
+        normalize_mean=[0.485, 0.456, 0.406],
+        normalize_std=[0.229, 0.224, 0.225], **target_kwargs)
     img_root, ann = data["train"]
     ds = create_dataset(img_root, ann, dataset_format="coco_topdown",
                         is_train=True, config=DATASET_SETTING)
     loader = create_pipeline(ds, transforms, method="topdown",
                              batch_size=batch_size, is_train=True,
                              config=DATASET_SETTING, seed=seed,
-                             normalize=True)
+                             normalize=False,
+                             final_columns=DEVICE_FINAL_COLUMNS)
 
     net = mp.create_network(backbone, head, dtype=jnp.bfloat16)
     loss = mp.create_loss("joint_mse", use_target_weight=True)
@@ -138,15 +154,14 @@ def train_arm(arm: str, seed: int, data: dict, epochs: int, batch_size: int,
     tx = create_optimizer(variables["params"], "adamw", learning_rate=1e-3,
                           weight_decay=0.05)
     state = create_train_state(variables, tx)
-    step_fn = build_train_step(nwl, tx, mesh=None)
+    step_fn = build_train_step(nwl, tx, mesh=None, preprocess=preprocess)
 
     t0 = time.perf_counter()
     for epoch in range(epochs):
         for batch in loader:
             state, lv = step_fn(
                 state, jnp.asarray(batch["image"]),
-                jnp.asarray(batch["target"]),
-                jnp.asarray(batch["target_weight"]))
+                jnp.asarray(batch["keypoints"]))
         if (epoch + 1) % 25 == 0:
             logging.info("[%s seed=%d] epoch %d/%d loss=%.5f (%.0fs)",
                          arm, seed, epoch + 1, epochs,
