@@ -126,3 +126,45 @@ def build_topdown_full_preprocess(
         return crops, target, weight
 
     return preprocess
+
+
+BOTTOMUP_DEVICE_FINAL_COLUMNS = ["image", "keypoints", "mask", "tag_ind"]
+
+
+def build_bottomup_preprocess(
+    heatmap_sizes,
+    normalize_mean,
+    normalize_std,
+    sigma: float = 2.0,
+) -> Callable:
+    """Preprocess closure for build_train_step in the bottom-up device
+    pipeline: (uint8 image, per-level keypoints, uint8 mask, tag_ind) ->
+    (normalized image, multi-level targets, mask, tag_ind).
+
+    The host stops after warping image/mask/keypoints (cv2) and computing AE
+    tag indices; the multi-level Gaussian rasterization — by far the largest
+    train-batch tensor ([S, Hmax, Wmax, K] float32, ~9 MB/record at 512
+    input) — renders on device from the [S, max_num, K, 3] keypoints
+    (~12 KB/record) via ops/target.generate_bottomup_targets.
+    """
+    from ..ops.target import generate_bottomup_targets
+
+    mean = jnp.asarray(normalize_mean, jnp.float32)
+    std = jnp.asarray(normalize_std, jnp.float32)
+    sizes = [(int(w), int(h)) for w, h in heatmap_sizes]
+    hmax = max(h for _, h in sizes)
+    wmax = max(w for w, _ in sizes)
+
+    def preprocess(image, keypoints, mask, tag_ind):
+        image = normalize_image(image, mean, std)
+        mask = mask.astype(jnp.float32)
+        levels = []
+        for s, (w, h) in enumerate(sizes):
+            t = generate_bottomup_targets(
+                keypoints[:, s], heatmap_size=(w, h), sigma=sigma)
+            levels.append(jnp.pad(
+                t, ((0, 0), (0, hmax - h), (0, wmax - w), (0, 0))))
+        target = jnp.stack(levels, axis=1)  # [N, S, Hmax, Wmax, K]
+        return image, target, mask, tag_ind
+
+    return preprocess

@@ -26,6 +26,7 @@ __all__ = [
     "BottomUpHorizontalRandomFlip",
     "BottomUpRandomAffine",
     "BottomUpGenerateTarget",
+    "BottomUpGenerateTagInd",
     "BottomUpRescale",
     "BottomUpResize",
     "BottomUpPad",
@@ -444,3 +445,51 @@ class BottomUpPad(BottomUpTransform):
         mask = np.zeros((target_height, target_width), dtype=np.uint8)
         mask[:height, :width] = 1
         return dict(image=image, mask=mask)
+
+
+@register("transform", extra_name="bottomup_generate_tag_ind")
+class BottomUpGenerateTagInd(BottomUpGenerateTarget):
+    """Device-pipeline variant of BottomUpGenerateTarget: compute only the
+    AE tag indices and pad keypoints to ``max_num``; the multi-level Gaussian
+    targets render on device (ops/target.generate_bottomup_targets) from the
+    shipped keypoints. Same tag semantics as the host encode (rint centers,
+    in-map test, flat H*W index).
+    """
+
+    def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        keypoints = np.asarray(state["keypoints"], dtype=np.float32)
+        s, m, k, _ = keypoints.shape
+        if m > self.max_num:
+            raise ValueError(
+                f"Number of instances in one image `{m}` exceeds the maximum "
+                f"num: `{self.max_num}`"
+            )
+        tag_per_joint = self._transform_cfg["tag_per_joint"]
+        tag_shape = (
+            (s, self.max_num, k, 2) if tag_per_joint else (s, self.max_num, 2)
+        )
+        tag_ind = np.zeros(tag_shape, dtype=np.int32)
+        padded = np.zeros((s, self.max_num, k, 3), dtype=np.float32)
+        padded[:, :m] = keypoints
+
+        for lvl, heatmap_size in enumerate(
+            self._transform_cfg["heatmap_sizes"]
+        ):
+            w, h = int(heatmap_size[0]), int(heatmap_size[1])
+            pts = keypoints[lvl].reshape(-1, 3)
+            inst_ids, joint_ids = np.divmod(np.arange(m * k), k)
+            mu = np.rint(pts[:, :2]).astype(np.int64)
+            tin = (
+                (pts[:, 2] > 0)
+                & (mu[:, 0] >= 0) & (mu[:, 0] < w)
+                & (mu[:, 1] >= 0) & (mu[:, 1] < h)
+            )
+            flat_pos = (mu[tin, 1] * w + mu[tin, 0]).astype(np.int32)
+            if tag_per_joint:
+                tag_ind[lvl, inst_ids[tin], joint_ids[tin], 0] = flat_pos
+                tag_ind[lvl, inst_ids[tin], joint_ids[tin], 1] = 1
+            else:
+                tag_ind[lvl, inst_ids[tin], 0] = flat_pos
+                tag_ind[lvl, inst_ids[tin], 1] = 1
+
+        return dict(keypoints=padded, tag_ind=tag_ind)

@@ -13,7 +13,79 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["generate_topdown_targets"]
+__all__ = ["generate_topdown_targets", "generate_bottomup_targets"]
+
+
+@partial(jax.jit, static_argnames=("heatmap_size", "sigma"))
+def generate_bottomup_targets(
+    keypoints: jnp.ndarray,
+    heatmap_size: Tuple[int, int],
+    sigma: float = 2.0,
+) -> jnp.ndarray:
+    """Multi-instance Gaussian heatmaps with per-pixel max, one level.
+
+    On-device equivalent of BottomUpGenerateTarget's rasterization
+    (data/transform/bottomup_transform.py:327-427, itself parity-tested
+    against ref bottomup_transform.py:463-598): sub-pixel-centered patches
+    with the reference's float-size window semantics (trunc-toward-zero
+    bounds, ceil(2*3*sigma+1) samples, float floor-half peak), instances
+    combined by max. Instead of scatter-max into a padded canvas, each
+    instance renders as a fused elementwise window+exp over the whole map
+    (identical inside the map; canvas padding only ever affected pixels that
+    are cropped away) and a lax.scan takes the running max — no [M, H, W, K]
+    intermediate.
+
+    Args:
+        keypoints: [N, M, K, 3] in THIS LEVEL's heatmap coordinates
+            (x, y, visibility); padded instances have visibility 0.
+
+    Returns:
+        target [N, H, W, K] float32.
+    """
+    w, h = heatmap_size
+    tmp_size = sigma * 3.0
+    size_f = 2.0 * tmp_size + 1.0
+    x0 = size_f // 2  # float floor-half (6.0 for sigma=2, 6.5 never occurs)
+
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :, None]  # [1, W, 1]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None, None]  # [H, 1, 1]
+
+    def render_instance(canvas, pts):
+        # pts: [N, K, 3] for one instance slot
+        px, py, vis = pts[..., 0], pts[..., 1], pts[..., 2]
+        mu_x = jnp.round(px).astype(jnp.int32)  # rint = banker's rounding
+        mu_y = jnp.round(py).astype(jnp.int32)
+        ul_x = jnp.trunc(mu_x - tmp_size).astype(jnp.int32)
+        ul_y = jnp.trunc(mu_y - tmp_size).astype(jnp.int32)
+        br_x = jnp.trunc(mu_x + tmp_size + 1).astype(jnp.int32)
+        br_y = jnp.trunc(mu_y + tmp_size + 1).astype(jnp.int32)
+        sel = (
+            (vis > 0)
+            & (ul_x < w) & (ul_y < h) & (br_x >= 0) & (br_y >= 0)
+        )  # [N, K]
+
+        # effective sub-pixel center: ul + (x0 + pt - mu) in map coords
+        cx = ul_x.astype(jnp.float32) + x0 + (px - mu_x)
+        cy = ul_y.astype(jnp.float32) + x0 + (py - mu_y)
+        g = jnp.exp(
+            -((xs[None] - cx[:, None, None, :]) ** 2
+              + (ys[None] - cy[:, None, None, :]) ** 2) / (2.0 * sigma**2)
+        )  # [N, H, W, K]
+        win = (
+            (xs[None] >= ul_x[:, None, None, :])
+            & (xs[None] < br_x[:, None, None, :])
+            & (ys[None] >= ul_y[:, None, None, :])
+            & (ys[None] < br_y[:, None, None, :])
+            & sel[:, None, None, :]
+        )
+        return jnp.maximum(canvas, jnp.where(win, g, 0.0)), None
+
+    canvas = jnp.zeros(
+        (keypoints.shape[0], h, w, keypoints.shape[2]), jnp.float32)
+    kpts_f = keypoints.astype(jnp.float32)
+    canvas, _ = jax.lax.scan(
+        render_instance, canvas, jnp.moveaxis(kpts_f, 1, 0))
+    return canvas
 
 
 @partial(

@@ -14,9 +14,11 @@ from mindpose_tpu.optim import create_optimizer
 from mindpose_tpu.parallel import build_train_step, create_train_state
 
 
-def bench(backbone_args, B=128, iters=20):
-    net = mp.create_network("hrnet_w32", "hrnet_head", dtype=jnp.bfloat16,
-                            backbone_args=backbone_args)
+def bench(backbone_args, B=128, iters=20, backbone="hrnet_w32",
+          head="hrnet_head", head_args=None):
+    net = mp.create_network(backbone, head, dtype=jnp.bfloat16,
+                            backbone_args=backbone_args,
+                            head_args=head_args or {})
     loss = mp.create_loss("joint_mse", use_target_weight=True)
     nwl = mp.create_network_with_loss(net, loss, has_extra_inputs=True)
     image = jnp.zeros((1, 256, 192, 3), jnp.float32)
@@ -41,9 +43,18 @@ def bench(backbone_args, B=128, iters=20):
 
 
 if __name__ == "__main__":
+    import json as _json
+
     ap = argparse.ArgumentParser()
-    ap.add_argument("--variants", default="base,s2d")
+    ap.add_argument("--variants", default="base,s2d",
+                    help="hrnet backbone_setting variants")
+    ap.add_argument("--backbone", default="hrnet_w32")
+    ap.add_argument("--head", default="hrnet_head")
+    ap.add_argument("--head-args", default="",
+                    help='JSON, e.g. {"num_deconv_layers": 2, ...}')
+    ap.add_argument("--batch", type=int, default=128)
     args = ap.parse_args()
+    head_args = _json.loads(args.head_args) if args.head_args else {}
     cfgs = {
         "base": {},
         "s2d": {"stem_s2d": True},
@@ -52,5 +63,8 @@ if __name__ == "__main__":
         "s2d_bn4": {"stem_s2d": True, "bn_stats_frac": 0.25},
     }
     for name in args.variants.split(","):
-        ms, ips = bench(cfgs[name])
-        print(f"{name:12s} {ms:7.2f} ms/step   {ips:8.1f} img/s")
+        backbone_args = cfgs[name] if args.backbone.startswith("hrnet") else {}
+        ms, ips = bench(backbone_args, B=args.batch, backbone=args.backbone,
+                        head=args.head, head_args=head_args)
+        print(f"{args.backbone}/{name:8s} {ms:7.2f} ms/step   "
+              f"{ips:8.1f} img/s")

@@ -105,15 +105,41 @@ def train(args) -> None:
     #   full -> host stops at JPEG decode; warp matrices ship with whole
     #           uint8 frames (size-bucketed) and warp+normalize+encode all
     #           run on device
-    device_pipeline = (
-        getattr(args, "device_pipeline", False)
-        and args.pipeline_method == "topdown"
-    )
+    device_pipeline = getattr(args, "device_pipeline", False)
     train_transforms = args.train_transforms
     preprocess = None
     final_columns_override = None
     image_bucket = None
-    if device_pipeline:
+    if device_pipeline and args.pipeline_method == "bottomup":
+        from mindpose_tpu.data.device_pipeline import (
+            BOTTOMUP_DEVICE_FINAL_COLUMNS,
+            build_bottomup_preprocess,
+        )
+
+        # swap the host Gaussian rasterizer for the tag-only transform; the
+        # multi-level targets render inside the jitted step
+        sigma = 2.0
+        swapped = []
+        for t in train_transforms:
+            name = t if isinstance(t, str) else next(iter(t))
+            if name == "bottomup_generate_target":
+                kwargs = dict() if isinstance(t, str) else dict(
+                    next(iter(t.values())) or {})
+                sigma = float(kwargs.get("sigma", 2.0))
+                swapped.append({"bottomup_generate_tag_ind": kwargs})
+            else:
+                swapped.append(t)
+        train_transforms = swapped
+        preprocess = build_bottomup_preprocess(
+            heatmap_sizes=args.dataset_setting["heatmap_sizes"],
+            normalize_mean=args.normalize_mean,
+            normalize_std=args.normalize_std,
+            sigma=sigma,
+        )
+        final_columns_override = BOTTOMUP_DEVICE_FINAL_COLUMNS
+        logging.info("device input pipeline enabled (bottom-up on-device "
+                     "encode)")
+    elif device_pipeline and args.pipeline_method == "topdown":
         from mindpose_tpu.data.device_pipeline import (
             DEVICE_FINAL_COLUMNS,
             DEVICE_FULL_FINAL_COLUMNS,
