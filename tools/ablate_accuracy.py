@@ -107,7 +107,7 @@ def make_data(root: str, train_images: int, val_images: int,
 
 def train_arm(arm: str, seed: int, data: dict, epochs: int, batch_size: int,
               backbone: str, head: str, pretrained_path: str = "",
-              milestone_eval=None):
+              milestone_eval=None, head_args=None):
     import jax
     import jax.numpy as jnp
 
@@ -141,7 +141,8 @@ def train_arm(arm: str, seed: int, data: dict, epochs: int, batch_size: int,
                              normalize=False,
                              final_columns=DEVICE_FINAL_COLUMNS)
 
-    net = mp.create_network(backbone, head, dtype=jnp.bfloat16)
+    net = mp.create_network(backbone, head, dtype=jnp.bfloat16,
+                            head_args=head_args or {})
     loss = mp.create_loss("joint_mse", use_target_weight=True)
     nwl = mp.create_network_with_loss(net, loss, has_extra_inputs=True)
     variables = net.init(jax.random.PRNGKey(seed),
@@ -242,6 +243,8 @@ def main() -> None:
     p.add_argument("--people", type=int, default=3)
     p.add_argument("--backbone", default="hrnet_w32")
     p.add_argument("--head", default="hrnet_head")
+    p.add_argument("--head-args", default="",
+                   help='JSON, e.g. {"num_deconv_layers": 2}')
     p.add_argument("--data-root", default="",
                    help="reuse an existing generated root")
     p.add_argument("--out", default="", help="write the JSON report here")
@@ -258,8 +261,11 @@ def main() -> None:
     for seed in [int(s) for s in args.seeds.split(",")]:
         for arm in args.arms.split(","):
             arm = arm.strip()
+            head_args = (json.loads(args.head_args) if args.head_args
+                         else None)
             net, state = train_arm(arm, seed, data, args.epochs,
-                                   args.batch_size, args.backbone, args.head)
+                                   args.batch_size, args.backbone, args.head,
+                                   head_args=head_args)
             for label, dec_kwargs in ARMS[arm][1]:
                 result = eval_checkpoint(net, state, data, dec_kwargs)
                 rec = {"label": label, "arm": arm, "seed": seed,
