@@ -1,5 +1,10 @@
 """Benchmark: HRNet-W32 256x192 training throughput + decode latency on TPU.
 
+Extras include a sustained end-to-end number (real loader -> jitted step,
+encode-mode device pipeline) — see tools/bench_e2e.py and
+docs/performance.md "Round-3" for the full mode matrix + bottleneck
+analysis.
+
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
@@ -9,6 +14,7 @@ present, else 1.0 (this run becomes the baseline).
 """
 import json
 import os
+import sys
 import time
 
 import jax
@@ -131,11 +137,31 @@ def bench_decode(batch: int = 128, iters: int = 50) -> dict:
     return stats
 
 
+def bench_e2e_encode(num_images: int = 96, epochs: int = 3) -> dict:
+    """Sustained loader->step throughput, encode-mode device pipeline."""
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    from bench_e2e import make_synth_coco, measure_e2e
+
+    root = tempfile.mkdtemp(prefix="bench_e2e_")
+    img_root, ann = make_synth_coco(root, num_images)
+    r = measure_e2e("encode", img_root, ann, batch_size=128, epochs=epochs,
+                    num_workers=4, decode_cache_mb=2048)
+    return {"e2e_images_per_sec": r["e2e_images_per_sec"],
+            "e2e_mode": "encode",
+            "e2e_records_per_epoch": r["records_per_epoch"]}
+
+
 def main() -> None:
     # decode first: the train bench leaves large donated buffers / queued
     # work on the chip that inflates later small-op latencies over the tunnel
     decode_stats = bench_decode()
     train_stats = bench_train_step()
+    try:
+        e2e_stats = bench_e2e_encode()
+    except Exception as e:  # e2e is an extra, never fail the headline bench
+        e2e_stats = {"e2e_error": repr(e)[:200]}
 
     baseline = None
     if os.path.exists("BASELINE.json"):
@@ -152,7 +178,7 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs_baseline, 3),
-                "extra": {**train_stats, **decode_stats},
+                "extra": {**train_stats, **decode_stats, **e2e_stats},
             }
         )
     )
