@@ -300,3 +300,64 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+
+class DevicePrefetcher:
+    """Overlap host->device transfer with device compute.
+
+    Wraps a host-batch iterable: a daemon thread stays ``depth`` batches
+    ahead, issuing the (optionally mesh-sharded) device transfer for batches
+    N+1..N+depth while the consumer's step runs on batch N, so transfer time
+    hides behind compute instead of serializing with it. This is the
+    host->device half of what the reference gets from MindSpore's
+    ``dataset_sink_mode=True`` epoch pipelining
+    (reference tools/train.py:233); the host half is DataLoader's own
+    bounded-queue prefetch.
+
+    Yields lists of device arrays in ``columns`` order. JAX dispatch is
+    thread-safe; the only ordering requirement is that the consumer sees
+    batches in loader order, which the FIFO queue preserves.
+    """
+
+    def __init__(self, loader, columns: Sequence[str], mesh=None,
+                 depth: int = 2):
+        self.loader = loader
+        self.columns = list(columns)
+        self.mesh = mesh
+        self.depth = depth
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def __iter__(self):
+        from mindpose_tpu.parallel import shard_batch  # lazy: avoids cycle
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for batch in self.loader:
+                    if stop.is_set():
+                        return
+                    arrays = shard_batch(
+                        [np.ascontiguousarray(batch[c]) for c in self.columns],
+                        self.mesh,
+                    )
+                    out_q.put(arrays)
+                out_q.put(None)
+            except BaseException as e:  # surface transfer/loader errors
+                out_q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -81,3 +81,34 @@ def test_transform_errors_propagate():
 
     with pytest.raises(RuntimeError, match="bad transform"):
         list(l)
+
+
+def test_device_prefetcher_matches_direct_transfer():
+    from mindpose_tpu.data.loader import DevicePrefetcher
+
+    l = _NoDecode(_FakeDataset(12), transforms=[], final_columns=["idx"],
+                  batch_size=4, is_train=False, normalize=False)
+    direct = [np.asarray(b["idx"]) for b in l]
+    fetched = [np.asarray(arrays[0])
+               for arrays in DevicePrefetcher(l, ["idx"], mesh=None, depth=2)]
+    assert len(fetched) == len(direct) == len(l)
+    for a, b in zip(fetched, direct):
+        np.testing.assert_array_equal(a, b)
+    # re-iterable (one producer thread per epoch)
+    again = [np.asarray(a[0])
+             for a in DevicePrefetcher(l, ["idx"], mesh=None, depth=1)]
+    assert [x.tolist() for x in again] == [x.tolist() for x in direct]
+
+
+def test_device_prefetcher_propagates_errors():
+    from mindpose_tpu.data.loader import DevicePrefetcher
+
+    def boom(state):
+        raise RuntimeError("bad transform")
+
+    l = _NoDecode(_FakeDataset(4), transforms=[boom], final_columns=["idx"],
+                  batch_size=2, is_train=False, normalize=False)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="bad transform"):
+        list(DevicePrefetcher(l, ["idx"], mesh=None, depth=2))

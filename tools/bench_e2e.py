@@ -155,7 +155,8 @@ def build_loader(mode: str, img_root: str, ann: str, batch_size: int,
 def measure_e2e(mode: str, img_root: str, ann: str, batch_size: int = 128,
                 epochs: int = 3, num_workers: int = 8,
                 backbone: str = "hrnet_w32", head: str = "hrnet_head",
-                decode_cache_mb: float = 0) -> dict:
+                decode_cache_mb: float = 0,
+                device_prefetch: int = 0) -> dict:
     """Wall-clock epochs of loader -> device -> step; img/s over epochs >= 2."""
     import jax
     import jax.numpy as jnp
@@ -183,15 +184,28 @@ def measure_e2e(mode: str, img_root: str, ann: str, batch_size: int = 128,
     state = create_train_state(variables, tx)
     step_fn = build_train_step(nwl, tx, mesh=mesh, preprocess=preprocess)
 
+    if device_prefetch:
+        from mindpose_tpu.data import DevicePrefetcher
+
+        feed = DevicePrefetcher(loader, cols, mesh=mesh,
+                                depth=device_prefetch)
+    else:
+        feed = None
+
     epoch_rates = []
     for epoch in range(epochs):
         t0 = time.perf_counter()
         n = 0
-        for batch in loader:
-            arrays = shard_batch(
-                [np.ascontiguousarray(batch[c]) for c in cols], mesh)
-            state, loss_vec = step_fn(state, *arrays)
-            n += len(batch[cols[0]])
+        if feed is not None:
+            for arrays in feed:
+                state, loss_vec = step_fn(state, *arrays)
+                n += arrays[0].shape[0]  # shape is metadata, no fetch
+        else:
+            for batch in loader:
+                arrays = shard_batch(
+                    [np.ascontiguousarray(batch[c]) for c in cols], mesh)
+                state, loss_vec = step_fn(state, *arrays)
+                n += len(batch[cols[0]])
         # value fetch = the only true barrier over the axon tunnel
         _ = np.asarray(loss_vec)
         dt = time.perf_counter() - t0
@@ -204,6 +218,7 @@ def measure_e2e(mode: str, img_root: str, ann: str, batch_size: int = 128,
     return {
         "mode": mode,
         "decode_cache_mb": decode_cache_mb,
+        "device_prefetch": device_prefetch,
         "e2e_images_per_sec": round(max(epoch_rates), 1),
         "epoch_rates": [round(r, 1) for r in epoch_rates],
         "batch_size": batch_size,
@@ -228,6 +243,9 @@ def main() -> None:
     p.add_argument("--head", default="hrnet_head")
     p.add_argument("--decode-cache-mb", type=float, default=0,
                    help="decoded-frame LRU budget (MB); 0 disables")
+    p.add_argument("--device-prefetch", type=int, default=0,
+                   help="overlap host->device transfer with the step: "
+                        "queue depth (0 disables)")
     args = p.parse_args()
 
     if args.data_root and args.ann:
@@ -246,7 +264,8 @@ def main() -> None:
             mode, img_root, ann, batch_size=args.batch_size,
             epochs=args.epochs, num_workers=args.num_workers,
             backbone=args.backbone, head=args.head,
-            decode_cache_mb=args.decode_cache_mb))
+            decode_cache_mb=args.decode_cache_mb,
+            device_prefetch=args.device_prefetch))
         print(json.dumps(results[-1]), flush=True)
     print(json.dumps({"e2e_summary": {r["mode"]: r["e2e_images_per_sec"]
                                       for r in results}}))

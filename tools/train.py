@@ -344,6 +344,29 @@ def train(args) -> None:
     )
     from mindpose_tpu.utils.profiler import trace
 
+    # `device_prefetch: N` overlaps host->device transfer with the step
+    # (N batches ahead); 0/absent keeps the synchronous transfer.
+    device_prefetch = int(getattr(args, "device_prefetch", 0) or 0)
+    if device_prefetch:
+        from mindpose_tpu.data import DevicePrefetcher
+
+        prefetcher = DevicePrefetcher(
+            loader_train, final_columns, mesh=mesh, depth=device_prefetch
+        )
+        logging.info("device prefetch enabled (depth %d)", device_prefetch)
+
+        def device_batches():
+            return iter(prefetcher)
+
+    else:
+
+        def device_batches():
+            for batch in loader_train:
+                yield shard_batch(
+                    [np.ascontiguousarray(batch[c]) for c in final_columns],
+                    mesh,
+                )
+
     profile = getattr(args, "profile", False)
     profile_dir = getattr(args, "profile_dir", os.path.join(ckpt_dir, "trace"))
     try:
@@ -352,15 +375,16 @@ def train(args) -> None:
             callback.on_epoch_begin(epoch)
             # profile the 2nd epoch (1st is compile-dominated)
             with trace(profile_dir, enabled=profile and epoch == 2):
-                for batch in loader_train:
+                batches = iter(device_batches())
+                while True:
                     timer.start()
-                    arrays = shard_batch(
-                        [np.ascontiguousarray(batch[c]) for c in final_columns],
-                        mesh,
-                    )
+                    try:
+                        arrays = next(batches)
+                    except StopIteration:
+                        break
                     state, loss_vec = step_fn(state, *arrays)
                     callback.on_step_end(loss_vec)
-                    timer.stop(len(batch[final_columns[0]]))
+                    timer.stop(arrays[0].shape[0])
             lr_now = float(lr_scheduler(int(state.step)))
             callback.on_epoch_end(epoch, state, lr_now)
             logging.info(
