@@ -100,6 +100,24 @@ def test_device_prefetcher_matches_direct_transfer():
     assert [x.tolist() for x in again] == [x.tolist() for x in direct]
 
 
+def test_device_prefetcher_mesh_sharded():
+    """Prefetcher yields mesh-sharded arrays identical to direct shard_batch
+    (8-device virtual CPU mesh from conftest)."""
+    from mindpose_tpu.data.loader import DevicePrefetcher
+    from mindpose_tpu.parallel import create_mesh, shard_batch
+
+    mesh = create_mesh()
+    l = _NoDecode(_FakeDataset(16), transforms=[], final_columns=["idx"],
+                  batch_size=8, is_train=False, normalize=False)
+    direct = [shard_batch([np.ascontiguousarray(b["idx"])], mesh)[0]
+              for b in l]
+    fetched = list(DevicePrefetcher(l, ["idx"], mesh=mesh, depth=2))
+    assert len(fetched) == len(direct)
+    for got, want in zip(fetched, direct):
+        assert got[0].sharding.is_equivalent_to(want.sharding, want.ndim)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want))
+
+
 def test_device_prefetcher_propagates_errors():
     from mindpose_tpu.data.loader import DevicePrefetcher
 
