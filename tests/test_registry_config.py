@@ -91,6 +91,53 @@ def test_all_configs_parse():
         assert has_component("decoder", args.decoder_name)
 
 
+def test_all_configs_build_objects():
+    """Every shipped recipe must construct its model/loss/decoder/scheduler/
+    optimizer through the factories (catches config<->factory kwargs drift
+    that name-registration checks miss). Module construction only — no
+    param init, so the 13-recipe sweep stays fast on CPU."""
+    import glob
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mindpose_tpu.optim import create_optimizer
+    from mindpose_tpu.scheduler import create_lr_scheduler
+
+    for path in sorted(glob.glob("configs/**/*.yaml", recursive=True)):
+        args = parse_args(["--config", path])
+        net = mp.create_network(
+            args.backbone_name,
+            args.head_name,
+            neck_name=args.neck_name,
+            in_channels=args.in_channels,
+            num_joints=args.num_joints,
+            backbone_args=args.backbone_setting,
+            head_args=args.head_setting,
+            dtype=jnp.bfloat16,
+        )
+        assert net is not None, path
+        loss = mp.create_loss(args.loss, **(args.loss_setting or {}))
+        assert loss is not None, path
+        decoder = mp.create_decoder(
+            args.decoder_name, **(args.decoder_setting or {}))
+        eval_net = mp.create_eval_network(net, decoder, output_raw=True)
+        assert eval_net is not None, path
+        sched = create_lr_scheduler(
+            args.scheduler, lr=args.lr, total_epochs=args.num_epochs,
+            steps_per_epoch=100, warmup=args.warmup,
+            **(getattr(args, "lr_scheduler_setting", None) or {}))
+        assert float(sched(0)) >= 0.0, path
+        dummy_params = {"conv": {"kernel": np.zeros((3, 3, 3, 4), np.float32),
+                                 "bias": np.zeros((4,), np.float32)}}
+        tx = create_optimizer(
+            dummy_params, args.optimizer, learning_rate=sched,
+            weight_decay=args.weight_decay,
+            filter_bias_and_bn=getattr(args, "filter_bias_and_bn", True),
+            **(getattr(args, "optimizer_setting", None) or {}))
+        tx.init(dummy_params)
+
+
 def test_check_divergent_knobs():
     """Divergent training knobs are refused unless explicitly allowed."""
     from argparse import Namespace
