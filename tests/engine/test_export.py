@@ -1,0 +1,73 @@
+"""Serving export round-trip: EvalNet -> StableHLO bytes -> call == direct.
+
+Covers mindpose_tpu/engine/export.py: weights baked in as constants,
+symbolic batch dimension (one artifact serves any batch size), and the
+fused forward+decode graph surviving serialization.
+"""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mindpose_tpu as mp
+from mindpose_tpu.engine import export_eval_net, load_serving_fn
+from mindpose_tpu.models.networks import Net
+
+
+class _TinyBackbone(nn.Module):
+    out_channels: int = 8
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        x = nn.Conv(8, (3, 3), strides=(4, 4), padding="SAME")(x)
+        return nn.relu(x)
+
+
+def _build(decoder_kwargs=None):
+    head = mp.create_head("hrnet_head", in_channels=8, num_joints=3)
+    net = Net(backbone=_TinyBackbone(), head=head)
+    decoder = mp.create_decoder("topdown_heatmap", **(decoder_kwargs or {}))
+    eval_net = mp.create_eval_network(net, decoder, output_raw=False)
+    variables = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 24, 3), jnp.float32),
+        train=False)
+    return eval_net, variables
+
+
+def _inputs(n, seed=0):
+    rng = np.random.RandomState(seed)
+    image = rng.rand(n, 32, 24, 3).astype(np.float32)
+    center = rng.uniform(50, 100, (n, 2)).astype(np.float32)
+    scale = rng.uniform(0.5, 2.0, (n, 2)).astype(np.float32)
+    score = rng.rand(n).astype(np.float32)
+    return image, center, scale, score
+
+
+def test_export_round_trip_symbolic_batch():
+    eval_net, variables = _build()
+    blob = export_eval_net(eval_net, variables, image_hw=(32, 24))
+    assert isinstance(blob, bytes) and len(blob) > 0
+    serve = load_serving_fn(blob)
+    # one artifact, multiple batch sizes
+    for n in (2, 5):
+        inputs = _inputs(n, seed=n)
+        got_preds, got_boxes = serve(*inputs)
+        want_preds, want_boxes = eval_net.apply(variables, *inputs)
+        np.testing.assert_allclose(
+            np.asarray(got_preds), np.asarray(want_preds), rtol=1e-4,
+            atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(got_boxes), np.asarray(want_boxes), rtol=1e-4,
+            atol=1e-4)
+
+
+def test_export_static_batch_and_udp_decoder():
+    eval_net, variables = _build(
+        {"use_udp": True, "dark_udp_refine": True, "kernel_size": 3})
+    blob = export_eval_net(eval_net, variables, image_hw=(32, 24), batch=3)
+    serve = load_serving_fn(blob)
+    inputs = _inputs(3, seed=7)
+    got = serve(*inputs)
+    want = eval_net.apply(variables, *inputs)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=1e-5, atol=1e-5)
