@@ -198,6 +198,7 @@ SUPPORTED_ARCHS: Dict[str, Callable[[], List[Entry]]] = {
 VIT_ARCHS: Dict[str, Dict[str, int]] = {
     "vit_b": dict(hidden=768, heads=12, depth=12),
     "vit_s": dict(hidden=384, heads=6, depth=12),
+    "vit_l": dict(hidden=1024, heads=16, depth=24),
 }
 
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ...register import register
 from .backbone import Backbone
 
-__all__ = ["ViT", "vit_b", "vit_s"]
+__all__ = ["ViT", "vit_b", "vit_l", "vit_s"]
 
 Dtype = Any
 
@@ -116,6 +116,19 @@ def vit_b(
     """ViT-Base/16 (86M params): ViTPose-B backbone."""
     return ViT(hidden_dim=768, depth=12, num_heads=12, in_channels=in_channels,
                dtype=dtype)
+
+
+@register("backbone")
+def vit_l(
+    pretrained: bool = False,
+    ckpt_url: str = "",
+    in_channels: int = 3,
+    dtype: Dtype = jnp.float32,
+    **kwargs: Any,
+) -> ViT:
+    """ViT-Large/16 (304M params): ViTPose-L backbone."""
+    return ViT(hidden_dim=1024, depth=24, num_heads=16,
+               in_channels=in_channels, dtype=dtype)
 
 
 @register("backbone")

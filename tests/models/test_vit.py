@@ -24,6 +24,19 @@ def test_vit_s_forward_shape_and_params():
     assert net.out_channels == 384
 
 
+def test_vit_l_param_count():
+    # eval_shape: parameter accounting without paying 304M-param init
+    net = mp.models.model_factory.create_backbone("vit_l", dtype=jnp.float32)
+    v = jax.eval_shape(
+        lambda: net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 256, 192, 3), jnp.float32),
+                         train=False))
+    n = _count(v["params"])
+    # ViT-L/16 trunk: 303.3M (ViTPose-L backbone)
+    assert 300e6 < n < 306e6, n
+    assert net.out_channels == 1024
+
+
 def test_vitpose_network_composes_with_simple_baseline_head():
     net = mp.create_network("vit_s", "simple_baseline_head", dtype=jnp.float32)
     x = jnp.zeros((1, 64, 48, 3), jnp.float32)
