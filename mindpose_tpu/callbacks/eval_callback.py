@@ -114,6 +114,14 @@ class EvalCallback:
             and self.dataset_val is not None
             and (epoch % self.interval == 0 or epoch == self.max_epoch)
         )
+        if self.save_last or self.save_best or run_eval:
+            # multi-host FSDP shards params/opt-state across processes; the
+            # rank-gated checkpoint write / eval below needs full values on
+            # this host. Collective — all ranks reach this line. No-op for
+            # DP (replicated) and single-host states.
+            from ..parallel.fsdp import replicate_sharded
+
+            state = replicate_sharded(state)
         if self._is_rank0():
             if self.save_last:
                 save_checkpoint(self.last_ckpt_path, state)

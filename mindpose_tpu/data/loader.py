@@ -320,11 +320,12 @@ class DevicePrefetcher:
     """
 
     def __init__(self, loader, columns: Sequence[str], mesh=None,
-                 depth: int = 2):
+                 depth: int = 2, spec=None):
         self.loader = loader
         self.columns = list(columns)
         self.mesh = mesh
         self.depth = depth
+        self.spec = spec  # batch PartitionSpec override (FSDP: both axes)
 
     def __len__(self) -> int:
         return len(self.loader)
@@ -343,6 +344,7 @@ class DevicePrefetcher:
                     arrays = shard_batch(
                         [np.ascontiguousarray(batch[c]) for c in self.columns],
                         self.mesh,
+                        spec=self.spec,
                     )
                     out_q.put(arrays)
                 out_q.put(None)

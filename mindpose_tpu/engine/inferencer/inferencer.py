@@ -79,6 +79,17 @@ class Inferencer:
 
         def place(x):
             if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                if not x.sharding.is_fully_replicated:
+                    # a multi-host FSDP shard: the full value is spread over
+                    # processes and this method may be called rank-gated, so
+                    # gathering here would deadlock. The caller must run
+                    # parallel.replicate_sharded(state) on ALL ranks first
+                    # (EvalCallback does).
+                    raise ValueError(
+                        "non-replicated global array reached eval placement; "
+                        "call parallel.replicate_sharded on all processes "
+                        "before rank-gated inference"
+                    )
                 # DP training replicates params, so the local shard on the
                 # first addressable device is the full array
                 x = np.asarray(x.addressable_data(0))

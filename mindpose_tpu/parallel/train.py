@@ -114,16 +114,19 @@ def build_train_step(
     return jax.jit(sharded_step, donate_argnums=(0,) if donate else ())
 
 
-def shard_batch(batch_arrays: Sequence[Any], mesh: Optional[Mesh]):
+def shard_batch(
+    batch_arrays: Sequence[Any], mesh: Optional[Mesh], spec: Optional[P] = None
+):
     """Host arrays -> batch-dim-sharded global device arrays.
 
     Single-host: a sharded device_put. Multi-host: each process contributes
     its local shard of the global batch (the loader already shards records by
-    process), assembled with make_array_from_process_local_data.
+    process), assembled with make_array_from_process_local_data. ``spec``
+    overrides the batch partitioning (FSDP shards over both mesh axes).
     """
     if mesh is None:
         return [jax.device_put(x) for x in batch_arrays]
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    sharding = NamedSharding(mesh, spec if spec is not None else P(DATA_AXIS))
     if jax.process_count() > 1:
         return [
             jax.make_array_from_process_local_data(sharding, x)

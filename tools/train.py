@@ -36,10 +36,13 @@ from mindpose_tpu.models import (
 )
 from mindpose_tpu.optim import create_optimizer
 from mindpose_tpu.parallel import (
+    build_fsdp_train_step,
     build_train_step,
     create_mesh,
     create_train_state,
+    fsdp_batch_spec,
     shard_batch,
+    shard_train_state,
 )
 from mindpose_tpu.scheduler import create_lr_scheduler
 from mindpose_tpu.utils import StepTimer, load_pretrained_backbone, restore_train_state
@@ -70,7 +73,20 @@ def train(args) -> None:
     process_count = jax.process_count()
     rank_id = jax.process_index()
     use_mesh = getattr(args, "distribute", False) or len(devices) > 1
-    mesh = create_mesh() if use_mesh else None
+    # parallel_mode: "data" (default, shard_map DP matching the reference's
+    # strategy) or "fsdp" (GSPMD param/opt-state sharding over the model
+    # axis — for ViT-L/H-scale models whose AdamW state won't replicate).
+    parallel_mode = str(getattr(args, "parallel_mode", "data") or "data").lower()
+    if parallel_mode not in ("data", "fsdp"):
+        raise ValueError(f"unknown parallel_mode: {parallel_mode!r}")
+    if use_mesh and parallel_mode == "fsdp":
+        fsdp_size = int(getattr(args, "model_parallel", 0) or 0) or len(devices)
+        mesh = create_mesh(model_parallel=fsdp_size)
+    elif use_mesh:
+        mesh = create_mesh()
+    else:
+        mesh = None
+    batch_spec = fsdp_batch_spec() if parallel_mode == "fsdp" else None
     n_local = jax.local_device_count() if use_mesh else 1
     logging.info(
         "devices: %d (%s), processes: %d, rank: %d, mesh: %s",
@@ -278,7 +294,17 @@ def train(args) -> None:
     if getattr(args, "ckpt", None):
         state = restore_train_state(args.ckpt, state)
 
-    step_fn = build_train_step(net_with_loss, tx, mesh=mesh, preprocess=preprocess)
+    if mesh is not None and parallel_mode == "fsdp":
+        # place params/opt-state as shards before the first step: the full
+        # replicated state may not even fit per-chip at ViT-L/H scale
+        state = shard_train_state(state, mesh)
+        step_fn = build_fsdp_train_step(
+            net_with_loss, tx, mesh=mesh, state=state, preprocess=preprocess
+        )
+    else:
+        step_fn = build_train_step(
+            net_with_loss, tx, mesh=mesh, preprocess=preprocess
+        )
 
     # ---- eval engines (ref train.py:184-206) ----
     inferencer = evaluator = None
@@ -299,6 +325,11 @@ def train(args) -> None:
             eval_mesh = None
         elif jax.process_count() > 1:
             eval_mesh = create_mesh(jax.local_devices())
+        elif parallel_mode == "fsdp":
+            # eval shards the BATCH; the fsdp mesh's data axis may be 1, so
+            # hand the inferencer a pure-DP mesh over the same devices
+            # (params replicate for eval — no opt state, f32 ViT-L is 1.2 GB)
+            eval_mesh = create_mesh(devices)
         else:
             eval_mesh = mesh
         inferencer = create_inferencer(
@@ -351,7 +382,8 @@ def train(args) -> None:
         from mindpose_tpu.data import DevicePrefetcher
 
         prefetcher = DevicePrefetcher(
-            loader_train, final_columns, mesh=mesh, depth=device_prefetch
+            loader_train, final_columns, mesh=mesh, depth=device_prefetch,
+            spec=batch_spec,
         )
         logging.info("device prefetch enabled (depth %d)", device_prefetch)
 
@@ -365,6 +397,7 @@ def train(args) -> None:
                 yield shard_batch(
                     [np.ascontiguousarray(batch[c]) for c in final_columns],
                     mesh,
+                    spec=batch_spec,
                 )
 
     profile = getattr(args, "profile", False)
