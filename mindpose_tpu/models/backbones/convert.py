@@ -199,6 +199,7 @@ VIT_ARCHS: Dict[str, Dict[str, int]] = {
     "vit_b": dict(hidden=768, heads=12, depth=12),
     "vit_s": dict(hidden=384, heads=6, depth=12),
     "vit_l": dict(hidden=1024, heads=16, depth=24),
+    "vit_h": dict(hidden=1280, heads=16, depth=32),
 }
 
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ...register import register
 from .backbone import Backbone
 
-__all__ = ["ViT", "vit_b", "vit_l", "vit_s"]
+__all__ = ["ViT", "vit_b", "vit_h", "vit_l", "vit_s"]
 
 Dtype = Any
 
@@ -128,6 +128,23 @@ def vit_l(
 ) -> ViT:
     """ViT-Large/16 (304M params): ViTPose-L backbone."""
     return ViT(hidden_dim=1024, depth=24, num_heads=16,
+               in_channels=in_channels, dtype=dtype)
+
+
+@register("backbone")
+def vit_h(
+    pretrained: bool = False,
+    ckpt_url: str = "",
+    in_channels: int = 3,
+    dtype: Dtype = jnp.float32,
+    **kwargs: Any,
+) -> ViT:
+    """ViT-Huge/16 (~632M params): ViTPose-H backbone.
+
+    At this scale the replicated AdamW state exceeds a single chip's HBM —
+    train with ``parallel_mode: fsdp`` (parallel/fsdp.py).
+    """
+    return ViT(hidden_dim=1280, depth=32, num_heads=16,
                in_channels=in_channels, dtype=dtype)
 
 

@@ -16,7 +16,13 @@ import optax
 
 from ..register import entrypoint, register
 
-__all__ = ["create_optimizer", "decay_mask", "radial_projection_mask", "project_radial"]
+__all__ = [
+    "create_optimizer",
+    "decay_mask",
+    "radial_projection_mask",
+    "project_radial",
+    "layer_decay_scales",
+]
 
 
 def decay_mask(params) -> Any:
@@ -93,6 +99,67 @@ def project_radial(mask) -> "optax.GradientTransformation":
     return optax.GradientTransformation(init, update)
 
 
+def layer_decay_scales(params, decay: float) -> Any:
+    """Per-leaf layer-wise lr multipliers for depth-indexed (ViT) backbones.
+
+    The ViTPose fine-tuning recipe (arXiv:2204.12484, following BEiT):
+    head and final norm train at full lr, transformer block ``i`` at
+    ``decay^(depth - i)``, patch/position embeddings at ``decay^(depth+1)``
+    — earlier (more general) layers move less. Block depth is inferred from
+    the ``block_{i}`` scope names; raises for CNN trees, where the knob has
+    no defined meaning.
+    """
+    import re
+
+    def block_index(path):
+        for p in path:
+            name = p.key if hasattr(p, "key") else str(p)
+            m = re.fullmatch(r"block_(\d+)", name)
+            if m:
+                return int(m.group(1))
+        return None
+
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    blocks = [i for i in (block_index(path) for path, _ in leaves)
+              if i is not None]
+    if not blocks:
+        raise ValueError(
+            "layer_decay requires a block-indexed (ViT) backbone; this "
+            "parameter tree has no block_{i} scopes"
+        )
+    depth = max(blocks) + 1
+
+    def scale(path, _):
+        names = [p.key if hasattr(p, "key") else str(p) for p in path]
+        i = block_index(path)
+        if i is not None:
+            layer_id = i + 1
+        elif names and names[0] == "backbone" and any(
+            n in ("patch_embed", "pos_embedding") for n in names
+        ):
+            layer_id = 0
+        else:  # head / neck / final norm: full lr
+            layer_id = depth + 1
+        return decay ** (depth + 1 - layer_id)
+
+    return jax.tree_util.tree_map_with_path(scale, params)
+
+
+def _scale_updates(scales) -> "optax.GradientTransformation":
+    """Multiply final updates by a static per-leaf scale pytree (appended
+    after the optimizer, so the scale acts as a per-layer learning rate)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return jax.tree_util.tree_map(lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def _register_optimizers():
     @register("optim", extra_name="adam")
     def adam(learning_rate, weight_decay=0.0, mask=None, **kw):
@@ -146,6 +213,7 @@ def create_optimizer(
     filter_bias_and_bn: bool = True,
     loss_scale: float = 1.0,  # parity knob; no-op with bf16 on TPU
     radial_projection: bool = False,
+    layer_decay: float = 0.0,
     **kwargs: Any,
 ) -> optax.GradientTransformation:
     """Create an optax optimizer over the model's parameter pytree.
@@ -168,7 +236,7 @@ def create_optimizer(
                 f"radial_projection is only supported with adamw (got {name!r})"
             )
         proj = project_radial(radial_projection_mask(params))
-        return optax.chain(
+        tx = optax.chain(
             optax.scale_by_adam(
                 **{k: kwargs[k] for k in ("b1", "b2", "eps") if k in kwargs}
             ),
@@ -176,6 +244,16 @@ def create_optimizer(
             optax.add_decayed_weights(weight_decay, mask=mask),
             optax.scale_by_learning_rate(learning_rate),
         )
-    return entrypoint("optim", name)(
-        learning_rate=learning_rate, weight_decay=weight_decay, mask=mask, **kwargs
-    )
+    else:
+        tx = entrypoint("optim", name)(
+            learning_rate=learning_rate, weight_decay=weight_decay, mask=mask,
+            **kwargs,
+        )
+    if layer_decay:
+        # ViTPose fine-tuning recipe: per-layer lr via a post-optimizer
+        # update scale (weight decay scales with it, matching the
+        # param-group-lr convention)
+        if not 0.0 < layer_decay <= 1.0:
+            raise ValueError(f"layer_decay must be in (0, 1], got {layer_decay}")
+        tx = optax.chain(tx, _scale_updates(layer_decay_scales(params, layer_decay)))
+    return tx

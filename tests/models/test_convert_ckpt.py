@@ -291,7 +291,9 @@ def test_convert_ckpt_cli(tmp_path):
     r = subprocess.run(
         [sys.executable, "tools/convert_ckpt.py", "--src", ckpt,
          "--arch", "resnet50", "--out", out, "--check"],
-        capture_output=True, text=True, env=env, timeout=600,
+        # cold subprocess re-imports jax and re-compiles resnet50 init;
+        # on a 1-core driver host that alone can exceed 600s
+        capture_output=True, text=True, env=env, timeout=1800,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.isfile(out)

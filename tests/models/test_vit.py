@@ -37,6 +37,18 @@ def test_vit_l_param_count():
     assert net.out_channels == 1024
 
 
+def test_vit_h_param_count():
+    net = mp.models.model_factory.create_backbone("vit_h", dtype=jnp.float32)
+    v = jax.eval_shape(
+        lambda: net.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 256, 192, 3), jnp.float32),
+                         train=False))
+    n = _count(v["params"])
+    # ViT-Huge/16 trunk: ~632M (ViTPose-H backbone)
+    assert 625e6 < n < 640e6, n
+    assert net.out_channels == 1280
+
+
 def test_vitpose_network_composes_with_simple_baseline_head():
     net = mp.create_network("vit_s", "simple_baseline_head", dtype=jnp.float32)
     x = jnp.zeros((1, 64, 48, 3), jnp.float32)

@@ -128,8 +128,14 @@ def test_all_configs_build_objects():
             steps_per_epoch=100, warmup=args.warmup,
             **(getattr(args, "lr_scheduler_setting", None) or {}))
         assert float(sched(0)) >= 0.0, path
-        dummy_params = {"conv": {"kernel": np.zeros((3, 3, 3, 4), np.float32),
-                                 "bias": np.zeros((4,), np.float32)}}
+        # block-indexed so recipes with optimizer_setting.layer_decay
+        # (ViTPose) build too
+        dummy_params = {
+            "backbone": {"block_0": {
+                "kernel": np.zeros((3, 3, 3, 4), np.float32),
+                "bias": np.zeros((4,), np.float32)}},
+            "head": {"kernel": np.zeros((3, 3, 3, 4), np.float32)},
+        }
         tx = create_optimizer(
             dummy_params, args.optimizer, learning_rate=sched,
             weight_decay=args.weight_decay,
