@@ -21,6 +21,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from common.platform import apply_platform_env
+
+apply_platform_env()
+
 import numpy as np
 
 from mindpose_tpu.models.backbones.convert import (

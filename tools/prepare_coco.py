@@ -31,6 +31,9 @@ _DET_RESULTS_URL = (
 
 def _rank() -> int:
     try:
+        from common.platform import apply_platform_env
+
+        apply_platform_env()
         import jax
 
         return jax.process_index()
