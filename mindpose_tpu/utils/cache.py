@@ -60,15 +60,29 @@ def host_fingerprint() -> str:
     return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
 
 
+def _configured_platform() -> str:
+    """The platform jax WILL use, without initializing any backend.
+
+    ``jax.default_backend()`` would instantiate the default PJRT client —
+    on this image that is the axon TPU plugin, so calling it from a process
+    that wants CPU (the driver's dryrun, a test subprocess) grabs or blocks
+    on the real chip's tunnel. Read the configured platform list instead;
+    "" means "auto", which on this image resolves to the TPU plugin.
+    """
+    import jax
+
+    plats = (jax.config.jax_platforms or
+             os.environ.get("JAX_PLATFORMS", "")).strip()
+    return plats.split(",")[0] if plats else ""
+
+
 def enable_compilation_cache(cache_dir: str = None) -> None:
     import jax
 
     cache_dir = cache_dir or os.environ.get("MINDPOSE_XLA_CACHE", _DEFAULT_DIR)
-    try:
-        backend = jax.default_backend()
-    except Exception:
-        backend = "cpu"
-    if backend == "cpu":
+    # "" = auto, which on an accelerator image resolves to the TPU plugin;
+    # callers that want CPU pin it first (apply_platform_env / _force_cpu_devices)
+    if _configured_platform() == "cpu":
         # only CPU AOT results bake in host ISA features; TPU executables
         # are host-independent and should share one cache across hosts
         cache_dir = os.path.join(cache_dir, host_fingerprint())
