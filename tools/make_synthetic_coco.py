@@ -100,9 +100,13 @@ def main() -> None:
     p.add_argument("--out", required=True)
     p.add_argument("--train-images", type=int, default=160)
     p.add_argument("--val-images", type=int, default=40)
+    p.add_argument("--people", type=int, default=2,
+                   help="persons per frame (bottom-up benchmarks want 3+)")
     args = p.parse_args()
-    generate_split(os.path.join(args.out, "train"), args.train_images, seed=0)
-    generate_split(os.path.join(args.out, "val"), args.val_images, seed=1)
+    generate_split(os.path.join(args.out, "train"), args.train_images, seed=0,
+                   people_per_img=args.people)
+    generate_split(os.path.join(args.out, "val"), args.val_images, seed=1,
+                   people_per_img=args.people)
 
 
 if __name__ == "__main__":
