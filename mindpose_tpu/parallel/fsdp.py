@@ -134,6 +134,7 @@ def build_fsdp_train_step(
     preprocess: Optional[Callable] = None,
     donate: bool = True,
     min_size: int = _MIN_SHARD_SIZE,
+    accum_steps: int = 1,
 ) -> Callable:
     """Returns ``train_step(state, *batch) -> (state, loss_vector)``.
 
@@ -142,24 +143,24 @@ def build_fsdp_train_step(
     between steps), a sharding constraint on the gradients marks the
     reduce-scatter point, and XLA places the parameter all-gathers where the
     forward/backward consume them. ``state`` is only read for leaf shapes.
+
+    ``accum_steps > 1`` scans the global batch as sequential microbatches
+    (see train.accum_loss_and_grads) — with FSDP this is THE lever for large
+    effective batch at ViT-L/H scale: activations for one microbatch at a
+    time, one all-gather/reduce-scatter pipeline per microbatch, one
+    optimizer step per call.
     """
+    from .train import accum_loss_and_grads
+
     state_shardings = fsdp_state_shardings(state, mesh, min_size)
     param_shardings = state_shardings.params
     loss_sharding = NamedSharding(mesh, P())
 
     def step(state: TrainState, *batch) -> Tuple[TrainState, jnp.ndarray]:
-        if preprocess is not None:
-            batch = preprocess(*batch)
-
-        def loss_fn(params):
-            loss, new_stats = net_with_loss.apply(
-                {"params": params, "batch_stats": state.batch_stats}, *batch
-            )
-            return jnp.sum(loss), (jnp.atleast_1d(loss), new_stats)
-
-        (_, (loss_vec, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        loss_vec, new_stats, grads = accum_loss_and_grads(
+            net_with_loss, state.params, state.batch_stats, batch,
+            accum_steps=accum_steps, preprocess=preprocess,
+        )
         grads = jax.lax.with_sharding_constraint(grads, param_shardings)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

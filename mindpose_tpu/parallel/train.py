@@ -24,7 +24,69 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.networks import NetWithLoss
 from .mesh import DATA_AXIS
 
-__all__ = ["TrainState", "create_train_state", "build_train_step", "shard_batch"]
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "build_train_step",
+    "shard_batch",
+    "accum_loss_and_grads",
+]
+
+
+def accum_loss_and_grads(
+    net_with_loss: NetWithLoss,
+    params: Any,
+    batch_stats: Any,
+    batch: Sequence[Any],
+    accum_steps: int = 1,
+    preprocess: Optional[Callable] = None,
+):
+    """Loss vector, new batch_stats and gradients — optionally accumulated.
+
+    With ``accum_steps > 1`` the batch dim is split into that many
+    microbatches and scanned sequentially at fixed ``params``, keeping one
+    microbatch of activations live at a time (the HBM lever for ViT-L/H-scale
+    training at large effective batch). Gradients are averaged across
+    microbatches, so for BatchNorm-free models the result is bitwise the
+    same objective as one step at the full batch; BatchNorm models instead
+    compute batch statistics per microbatch (running stats thread through
+    the scan) — the same semantics as training at the smaller batch.
+    """
+
+    def loss_fn(params, stats, mb):
+        loss, new_stats = net_with_loss.apply(
+            {"params": params, "batch_stats": stats}, *mb
+        )
+        return jnp.sum(loss), (jnp.atleast_1d(loss), new_stats)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    if accum_steps <= 1:
+        mb = preprocess(*batch) if preprocess is not None else batch
+        (_, (loss_vec, new_stats)), grads = grad_fn(params, batch_stats, mb)
+        return loss_vec, new_stats, grads
+
+    b = int(batch[0].shape[0])
+    if b % accum_steps:
+        raise ValueError(
+            f"(local) batch size {b} is not divisible by "
+            f"accum_steps={accum_steps}"
+        )
+    micro = [
+        x.reshape((accum_steps, b // accum_steps) + tuple(x.shape[1:]))
+        for x in batch
+    ]
+
+    def body(carry, mb):
+        stats, grad_acc = carry
+        mb = preprocess(*mb) if preprocess is not None else tuple(mb)
+        (_, (loss_vec, new_stats)), grads = grad_fn(params, stats, mb)
+        return (new_stats, jax.tree.map(jnp.add, grad_acc, grads)), loss_vec
+
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    (new_stats, grads), losses = jax.lax.scan(body, (batch_stats, zeros), micro)
+    grads = jax.tree.map(lambda g: g / accum_steps, grads)
+    return jnp.mean(losses, axis=0), new_stats, grads
 
 
 @struct.dataclass
@@ -52,6 +114,7 @@ def build_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     preprocess: Optional[Callable] = None,
+    accum_steps: int = 1,
 ) -> Callable:
     """Returns ``train_step(state, *batch_arrays) -> (state, loss_vector)``.
 
@@ -63,22 +126,17 @@ def build_train_step(
     batch columns before the forward pass — the hook for the on-device input
     pipeline (normalize + Gaussian target rasterization, ops/image+target),
     fused by XLA into the step.
+
+    ``accum_steps > 1`` splits each (local) batch into sequential
+    microbatches with averaged gradients (one optimizer step per call —
+    see accum_loss_and_grads for the BatchNorm-statistics caveat).
     """
 
     def local_step(state: TrainState, *batch):
-        if preprocess is not None:
-            batch = preprocess(*batch)
-
-        def loss_fn(params):
-            loss, new_stats = net_with_loss.apply(
-                {"params": params, "batch_stats": state.batch_stats}, *batch
-            )
-            scalar = jnp.sum(loss)
-            return scalar, (jnp.atleast_1d(loss), new_stats)
-
-        (_, (loss_vec, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        loss_vec, new_stats, grads = accum_loss_and_grads(
+            net_with_loss, state.params, state.batch_stats, batch,
+            accum_steps=accum_steps, preprocess=preprocess,
+        )
 
         if mesh is not None:
             grads = jax.lax.pmean(grads, DATA_AXIS)

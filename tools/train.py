@@ -294,16 +294,25 @@ def train(args) -> None:
     if getattr(args, "ckpt", None):
         state = restore_train_state(args.ckpt, state)
 
+    # grad_accum_steps > 1: sequential microbatches per optimizer step
+    # (exact for LayerNorm models; BN batch stats become per-microbatch —
+    # parallel/train.py:accum_loss_and_grads)
+    accum_steps = int(getattr(args, "grad_accum_steps", 1) or 1)
+    if accum_steps > 1:
+        logging.info("gradient accumulation: %d microbatches/step", accum_steps)
+
     if mesh is not None and parallel_mode == "fsdp":
         # place params/opt-state as shards before the first step: the full
         # replicated state may not even fit per-chip at ViT-L/H scale
         state = shard_train_state(state, mesh)
         step_fn = build_fsdp_train_step(
-            net_with_loss, tx, mesh=mesh, state=state, preprocess=preprocess
+            net_with_loss, tx, mesh=mesh, state=state, preprocess=preprocess,
+            accum_steps=accum_steps,
         )
     else:
         step_fn = build_train_step(
-            net_with_loss, tx, mesh=mesh, preprocess=preprocess
+            net_with_loss, tx, mesh=mesh, preprocess=preprocess,
+            accum_steps=accum_steps,
         )
 
     # ---- eval engines (ref train.py:184-206) ----
