@@ -15,6 +15,7 @@ present, else 1.0 (this run becomes the baseline).
 import json
 import os
 import sys
+import threading
 import time
 
 import jax
@@ -24,6 +25,30 @@ import numpy as np
 from mindpose_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
+
+# The axon TPU tunnel can wedge (worker crash/restart): device contact then
+# blocks forever with no exception. A hung bench leaves the driver with NO
+# output; this watchdog instead emits an honest error JSON and exits. The
+# budget is far above a worst-case cold run (HRNet + Pallas remote compiles
+# ~5 min total; BENCH_r02 completed in well under 15).
+_WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", 2400))
+
+
+def _arm_watchdog() -> None:
+    def fire():
+        print(json.dumps({
+            "metric": "hrnet_w32_256x192_train_throughput",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "extra": {"error": f"watchdog: no result after {_WATCHDOG_S:.0f}s"
+                               " — TPU tunnel unreachable or wedged"},
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(_WATCHDOG_S, fire)
+    t.daemon = True
+    t.start()
 
 
 def bench_train_step(batch_per_chip: int = 128, iters: int = 20) -> dict:
@@ -154,6 +179,7 @@ def bench_e2e_encode(num_images: int = 96, epochs: int = 3) -> dict:
 
 
 def main() -> None:
+    _arm_watchdog()
     # decode first: the train bench leaves large donated buffers / queued
     # work on the chip that inflates later small-op latencies over the tunnel
     decode_stats = bench_decode()
