@@ -3,7 +3,11 @@
 Exercises the code paths that are dead in single-process tests:
 - ``shard_batch``'s ``make_array_from_process_local_data`` branch;
 - ``allreduce_mean``'s ``process_allgather`` branch;
-- rank-0 gating via ``is_main_process``.
+- rank-0 gating via ``is_main_process``;
+- the FSDP path end to end: ``shard_train_state`` onto a multi-process
+  mesh, one ``build_fsdp_train_step`` step (cross-process all-gather /
+  reduce-scatter), and ``replicate_sharded`` bringing the sharded params
+  back to full per-process values (the multi-host checkpoint/eval path).
 
 Usage: python multihost_runner.py <rank> <nprocs> <port>
 """
@@ -83,7 +87,75 @@ def main():
     preds = {r["bbox_id"]: np.asarray(r["pred"]) for r in merged}
     assert preds[0].shape == (17, 3) and float(preds[10][0, 0]) == 1.0
 
+    _check_fsdp_multihost()
+
     print(f"MULTIHOST_OK rank={rank}")
+
+
+def _check_fsdp_multihost():
+    """shard_train_state -> one FSDP step -> replicate_sharded, 2 processes."""
+    import jax.numpy as jnp
+
+    import mindpose_tpu as mp
+    from mindpose_tpu.models.backbones.vit import ViT
+    from mindpose_tpu.models.model_factory import create_head
+    from mindpose_tpu.models.networks import Net, NetWithLoss
+    from mindpose_tpu.parallel import (
+        build_fsdp_train_step,
+        create_train_state,
+        fsdp_batch_spec,
+        replicate_sharded,
+        shard_train_state,
+    )
+    from mindpose_tpu.parallel.mesh import MODEL_AXIS
+
+    min_size = 4096  # tiny-model threshold so leaves actually shard
+    mesh = create_mesh(data_parallel=2, model_parallel=2)
+
+    backbone = ViT(patch_size=8, hidden_dim=64, depth=2, num_heads=2)
+    head = create_head("simple_baseline_head", in_channels=64, num_joints=17,
+                       num_deconv_layers=2, num_deconv_filters=(32, 32),
+                       num_deconv_kernels=(4, 4))
+    net = Net(backbone=backbone, head=head)
+    nwl = NetWithLoss(net, mp.create_loss("joint_mse", use_target_weight=True),
+                      has_extra_inputs=True)
+
+    rng = np.random.RandomState(0)  # same seed: identical init on both ranks
+    image = rng.rand(2, 64, 64, 3).astype(np.float32)  # local half of batch 4
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(image[:1]),
+                         train=False)
+    tx = mp.create_optimizer(variables["params"], name="adamw",
+                             learning_rate=1e-3, weight_decay=0.05)
+    state = shard_train_state(create_train_state(variables, tx), mesh,
+                              min_size=min_size)
+    sharded = [
+        leaf for leaf in jax.tree_util.tree_leaves(state.params)
+        if any(MODEL_AXIS in ((s,) if isinstance(s, str) else (s or ()))
+               for s in getattr(leaf.sharding, "spec", ()))
+    ]
+    assert sharded, "no param leaf sharded over the model axis"
+    assert not sharded[0].is_fully_addressable  # genuinely multi-process
+
+    step_fn = build_fsdp_train_step(nwl, tx, mesh=mesh, state=state,
+                                    min_size=min_size)
+    batch = shard_batch(
+        [image, rng.rand(2, 32, 32, 17).astype(np.float32),
+         np.ones((2, 17), np.float32)],
+        mesh, spec=fsdp_batch_spec())
+    state, loss_vec = step_fn(state, *batch)
+    loss = np.asarray(loss_vec)  # replicated output: fetchable per process
+    assert np.isfinite(loss).all(), loss
+
+    # checkpoint/eval path: resharding collective -> full values per process
+    full = replicate_sharded(state.params)
+    checksum = 0.0
+    for leaf in jax.tree_util.tree_leaves(full):
+        assert leaf.sharding.is_fully_replicated
+        checksum += float(np.abs(np.asarray(leaf)).sum())
+    # identical full values on every process: the cross-process mean of the
+    # checksum must equal the local checksum
+    np.testing.assert_allclose(
+        allreduce_mean(np.array([checksum])), [checksum], rtol=1e-6)
 
 
 if __name__ == "__main__":

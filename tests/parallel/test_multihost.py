@@ -38,7 +38,7 @@ def test_two_process_cpu_multihost():
     outputs = []
     for rank, proc in enumerate(procs):
         try:
-            out, _ = proc.communicate(timeout=180)
+            out, _ = proc.communicate(timeout=300)
         except subprocess.TimeoutExpired:
             for p in procs:
                 p.kill()
