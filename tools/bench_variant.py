@@ -15,7 +15,7 @@ from mindpose_tpu.parallel import build_train_step, create_train_state
 
 
 def bench(backbone_args, B=128, iters=20, backbone="hrnet_w32",
-          head="hrnet_head", head_args=None):
+          head="hrnet_head", head_args=None, accum=1):
     net = mp.create_network(backbone, head, dtype=jnp.bfloat16,
                             backbone_args=backbone_args,
                             head_args=head_args or {})
@@ -26,7 +26,7 @@ def bench(backbone_args, B=128, iters=20, backbone="hrnet_w32",
     tx = create_optimizer(variables["params"], "adamw", learning_rate=1e-3,
                           weight_decay=0.05)
     state = create_train_state(variables, tx)
-    step = build_train_step(nwl, tx, mesh=None)
+    step = build_train_step(nwl, tx, mesh=None, accum_steps=accum)
     rng = np.random.RandomState(0)
     x = jax.device_put(rng.rand(B, 256, 192, 3).astype(np.float32))
     y = jax.device_put(rng.rand(B, 64, 48, 17).astype(np.float32))
@@ -53,6 +53,8 @@ if __name__ == "__main__":
     ap.add_argument("--head-args", default="",
                     help='JSON, e.g. {"num_deconv_layers": 2, ...}')
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation microbatches per step")
     args = ap.parse_args()
     head_args = _json.loads(args.head_args) if args.head_args else {}
     cfgs = {
@@ -65,6 +67,7 @@ if __name__ == "__main__":
     for name in args.variants.split(","):
         backbone_args = cfgs[name] if args.backbone.startswith("hrnet") else {}
         ms, ips = bench(backbone_args, B=args.batch, backbone=args.backbone,
-                        head=args.head, head_args=head_args)
+                        head=args.head, head_args=head_args, accum=args.accum)
+        accum_note = f" (accum {args.accum})" if args.accum > 1 else ""
         print(f"{args.backbone}/{name:8s} {ms:7.2f} ms/step   "
-              f"{ips:8.1f} img/s")
+              f"{ips:8.1f} img/s{accum_note}")
