@@ -26,6 +26,7 @@ __all__ = [
     "backbone_mapping",
     "convert_backbone_state",
     "export_backbone_state",
+    "export_vit_state",
     "SUPPORTED_ARCHS",
 ]
 
@@ -345,7 +346,7 @@ def export_backbone_state(
     from flax.traverse_util import flatten_dict
 
     if arch in VIT_ARCHS:
-        raise NotImplementedError("ViT export not implemented")
+        return export_vit_state(arch, variables, naming=naming)
     params = flatten_dict(variables.get("params", {}))
     stats = flatten_dict(variables.get("batch_stats", {}))
     ms = naming == "mindspore"
@@ -370,6 +371,63 @@ def export_backbone_state(
             emit(sp, names[1], params[fp + ("bias",)])
             emit(sp, names[2], stats[fp + ("mean",)])
             emit(sp, names[3], stats[fp + ("var",)])
+    return out
+
+
+def export_vit_state(
+    arch: str, variables: dict, naming: str = "torch"
+) -> Dict[str, np.ndarray]:
+    """Inverse of convert_vit_state: flax ViT tree -> torch-style state dict.
+
+    Exact inverses of the layout changes documented there: Dense kernels
+    transpose back to [O, I]; query/key/value kernels re-fuse into the
+    [3D, D] qkv; the out kernel flattens back to [D, D]; the pos-embed grid
+    flattens to [1, N, D] (no class token — our trunk has none).
+    ``naming="mindspore"`` emits gamma/beta for LayerNorms and ViTPose's
+    ``last_norm`` prefix; both flavors round-trip through
+    :func:`normalize_source_keys`.
+    """
+    cfg = VIT_ARCHS[arch]
+    d, depth = cfg["hidden"], cfg["depth"]
+    params = variables.get("params", variables)
+    ms = naming == "mindspore"
+    ln_leaves = ("gamma", "beta") if ms else ("weight", "bias")
+    out: Dict[str, np.ndarray] = {}
+
+    def ln(src_key: str, node: dict) -> None:
+        out[f"{src_key}.{ln_leaves[0]}"] = np.asarray(node["scale"])
+        out[f"{src_key}.{ln_leaves[1]}"] = np.asarray(node["bias"])
+
+    pe = params["patch_embed"]
+    out["patch_embed.proj.weight"] = np.transpose(
+        np.asarray(pe["kernel"]), (3, 2, 0, 1))
+    out["patch_embed.proj.bias"] = np.asarray(pe["bias"])
+    pos = np.asarray(params["pos_embedding"])  # [1, gh, gw, D]
+    out["pos_embed"] = pos.reshape(1, -1, pos.shape[-1])
+
+    for i in range(depth):
+        blk = params[f"block_{i}"]
+        ln(f"blocks.{i}.norm1", blk["LayerNorm_0"])
+        ln(f"blocks.{i}.norm2", blk["LayerNorm_1"])
+        attn = blk["MultiHeadDotProductAttention_0"]
+        out[f"blocks.{i}.attn.qkv.weight"] = np.concatenate(
+            [np.asarray(attn[n]["kernel"]).reshape(d, d).T
+             for n in ("query", "key", "value")], axis=0)
+        out[f"blocks.{i}.attn.qkv.bias"] = np.concatenate(
+            [np.asarray(attn[n]["bias"]).reshape(d)
+             for n in ("query", "key", "value")])
+        out[f"blocks.{i}.attn.proj.weight"] = (
+            np.asarray(attn["out"]["kernel"]).reshape(d, d).T)
+        out[f"blocks.{i}.attn.proj.bias"] = np.asarray(attn["out"]["bias"])
+        mlp = blk["MlpBlock_0"]
+        out[f"blocks.{i}.mlp.fc1.weight"] = np.asarray(
+            mlp["Dense_0"]["kernel"]).T
+        out[f"blocks.{i}.mlp.fc1.bias"] = np.asarray(mlp["Dense_0"]["bias"])
+        out[f"blocks.{i}.mlp.fc2.weight"] = np.asarray(
+            mlp["Dense_1"]["kernel"]).T
+        out[f"blocks.{i}.mlp.fc2.bias"] = np.asarray(mlp["Dense_1"]["bias"])
+
+    ln("last_norm" if ms else "norm", params["norm"])
     return out
 
 

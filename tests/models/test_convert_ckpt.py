@@ -320,3 +320,27 @@ def test_export_convert_roundtrip(naming, tmp_path):
     assert set(got_flat) == set(init_flat)
     for k in got_flat:
         np.testing.assert_array_equal(got_flat[k], np.asarray(init_flat[k]))
+
+
+@pytest.mark.parametrize("naming", ["torch", "mindspore"])
+def test_export_convert_vit_roundtrip(naming, tmp_path):
+    """flax ViT init -> export -> .ckpt -> convert must be bit-exact."""
+    from mindpose_tpu.models.backbones.convert import export_backbone_state
+
+    init = _init_backbone("vit_s")
+    exported = export_backbone_state("vit_s", init, naming=naming)
+    norm_key = "last_norm.gamma" if naming == "mindspore" else "norm.weight"
+    assert norm_key in exported and "pos_embed" in exported
+    assert exported["blocks.0.attn.qkv.weight"].shape == (3 * 384, 384)
+
+    ckpt = str(tmp_path / "vit_export.ckpt")
+    write_ms_checkpoint(ckpt, exported)
+    variables, missing, unused = convert_backbone_state(
+        "vit_s", read_ms_checkpoint(ckpt))
+    assert missing == [] and unused == []
+
+    init_flat = flatten_dict(init["params"])
+    got_flat = flatten_dict(variables["params"])
+    assert set(got_flat) == set(init_flat)
+    for k in got_flat:
+        np.testing.assert_array_equal(got_flat[k], np.asarray(init_flat[k]))
