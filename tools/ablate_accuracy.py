@@ -173,7 +173,8 @@ def train_arm(arm: str, seed: int, data: dict, epochs: int, batch_size: int,
     return net, state
 
 
-def eval_checkpoint(net, state, data: dict, decoder_kwargs: dict) -> dict:
+def eval_checkpoint(net, state, data: dict, decoder_kwargs: dict,
+                    tta: bool = False) -> dict:
     import mindpose_tpu as mp
     from mindpose_tpu.data import create_dataset, create_pipeline
     from mindpose_tpu.engine import create_evaluator, create_inferencer
@@ -191,8 +192,16 @@ def eval_checkpoint(net, state, data: dict, decoder_kwargs: dict) -> dict:
                               config=DATASET_SETTING, normalize=True)
     decoder = mp.create_decoder("topdown_heatmap", **decoder_kwargs)
     eval_net = mp.create_eval_network(net, decoder, output_raw=True)
+    # --tta = the reference's published eval recipe: hflip TTA + 1-px shift
+    # (ref configs/hrnet/README.md:90); UDP decoders skip the shift
+    # (ref configs/udp/README.md:94)
+    eval_setting = dict(EVAL_SETTING)
+    if tta:
+        eval_setting["hflip_tta"] = True
+        eval_setting["shift_heatmap"] = not decoder_kwargs.get("use_udp",
+                                                               False)
     inferencer = create_inferencer(eval_net, name="topdown_heatmap",
-                                   config=EVAL_SETTING,
+                                   config=eval_setting,
                                    dataset_config=DATASET_SETTING)
     with tempfile.TemporaryDirectory() as td:
         evaluator = create_evaluator(
@@ -247,6 +256,9 @@ def main() -> None:
                    help='JSON, e.g. {"num_deconv_layers": 2}')
     p.add_argument("--data-root", default="",
                    help="reuse an existing generated root")
+    p.add_argument("--tta", action="store_true",
+                   help="eval with hflip TTA + shift heatmap (the "
+                        "reference's published recipe)")
     p.add_argument("--out", default="", help="write the JSON report here")
     args = p.parse_args()
 
@@ -267,7 +279,8 @@ def main() -> None:
                                    args.batch_size, args.backbone, args.head,
                                    head_args=head_args)
             for label, dec_kwargs in ARMS[arm][1]:
-                result = eval_checkpoint(net, state, data, dec_kwargs)
+                result = eval_checkpoint(net, state, data, dec_kwargs,
+                                         tta=args.tta)
                 rec = {"label": label, "arm": arm, "seed": seed,
                        "AP": float(result["AP"]),
                        "AP50": float(result.get("AP .5", -1)),
@@ -280,6 +293,7 @@ def main() -> None:
             "train_images": args.train_images, "val_images": args.val_images,
             "people_per_img": args.people, "epochs": args.epochs,
             "batch_size": args.batch_size, "backbone": args.backbone,
+            "tta": bool(args.tta),
             "paired": "same loader seed + init key across arms per seed",
         },
         "runs": runs,
