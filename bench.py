@@ -180,10 +180,23 @@ def bench_e2e_encode(num_images: int = 96, epochs: int = 3) -> dict:
 
 def main() -> None:
     _arm_watchdog()
-    # decode first: the train bench leaves large donated buffers / queued
-    # work on the chip that inflates later small-op latencies over the tunnel
-    decode_stats = bench_decode()
-    train_stats = bench_train_step()
+    try:
+        # decode first: the train bench leaves large donated buffers /
+        # queued work on the chip that inflates later small-op latencies
+        # over the tunnel
+        decode_stats = bench_decode()
+        train_stats = bench_train_step()
+    except Exception as e:
+        # a dead tunnel listener raises (Connection refused) rather than
+        # hanging; still emit the one-line JSON contract for the driver
+        print(json.dumps({
+            "metric": "hrnet_w32_256x192_train_throughput",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "extra": {"error": repr(e)[:300]},
+        }), flush=True)
+        raise
     try:
         e2e_stats = bench_e2e_encode()
     except Exception as e:  # e2e is an extra, never fail the headline bench
