@@ -26,10 +26,12 @@ from ..ops.target import generate_topdown_targets
 __all__ = [
     "DEVICE_FINAL_COLUMNS",
     "DEVICE_FULL_FINAL_COLUMNS",
+    "BOTTOMUP_DEVICE_FINAL_COLUMNS",
     "strip_host_target_transform",
     "to_matrix_transforms",
     "build_topdown_preprocess",
     "build_topdown_full_preprocess",
+    "build_bottomup_preprocess",
 ]
 
 DEVICE_FINAL_COLUMNS = ["image", "keypoints"]
