@@ -71,3 +71,44 @@ def test_export_static_batch_and_udp_decoder():
     want = eval_net.apply(variables, *inputs)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_export_cli(tmp_path):
+    """tools/export.py end to end: recipe + checkpoint -> artifact + selftest.
+
+    Uses the shipped ViTPose-S recipe (the smallest real model) with a
+    freshly-initialized checkpoint; --selftest makes the CLI itself assert
+    artifact-vs-direct-apply agreement.
+    """
+    import os
+    import subprocess
+    import sys
+
+    from flax import serialization
+
+    import mindpose_tpu as mp
+
+    repo = os.path.join(os.path.dirname(__file__), "..", "..")
+    net = mp.create_network(
+        "vit_s", "simple_baseline_head", num_joints=17,
+        head_args={"num_deconv_layers": 2, "num_deconv_filters": (256, 256),
+                   "num_deconv_kernels": (4, 4)})
+    variables = jax.device_get(net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 192, 3), jnp.float32),
+        train=False))
+    ckpt = str(tmp_path / "vit_s.ckpt")
+    with open(ckpt, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+
+    out = str(tmp_path / "vit_s.stablehlo")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "export.py"),
+         "--config", os.path.join(repo, "configs", "vitpose",
+                                  "vitpose_s_tpu.yaml"),
+         "--ckpt", ckpt, "--out", out, "--platforms", "cpu",
+         "--batch", "2", "--selftest"],
+        capture_output=True, text=True, env=env, timeout=1800)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-1500:])
+    assert os.path.getsize(out) > 1e6  # weights baked in
+    assert "selftest ok" in (r.stdout + r.stderr)
