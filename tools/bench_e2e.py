@@ -147,9 +147,48 @@ def build_loader(mode: str, img_root: str, ann: str, batch_size: int,
         ds, transforms=transforms, method="topdown", batch_size=batch_size,
         is_train=True, normalize=(mode == "host"), normalize_mean=MEAN,
         normalize_std=STD, num_workers=num_workers, config=DATASET_SETTING,
-        seed=0, final_columns=final_columns, image_bucket=image_bucket)
+        seed=0, final_columns=final_columns, image_bucket=image_bucket,
+        decode_cache_mb=decode_cache_mb)
     cols = final_columns or ["image", "target", "target_weight"]
     return loader, preprocess, cols
+
+
+def measure_loader_only(mode: str, img_root: str, ann: str,
+                        batch_size: int = 128, epochs: int = 3,
+                        num_workers: int = 8,
+                        decode_cache_mb: float = 0) -> dict:
+    """Host-pipeline ceiling: iterate the loader with no device in the loop.
+
+    This is the number that binds on real TPU hosts (fat PCIe/ICI link):
+    img/s the host can produce per this many workers. Epoch 0 warms the
+    decoded-frame cache and is excluded.
+    """
+    loader, _, cols = build_loader(mode, img_root, ann, batch_size,
+                                   num_workers, decode_cache_mb)
+    epoch_rates = []
+    n = 0
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        n = 0
+        for batch in loader:
+            n += len(batch[cols[0]])
+        rate = n / (time.perf_counter() - t0)
+        logging.info("[%s loader-only] epoch %d: %d recs -> %.1f img/s%s",
+                     mode, epoch, n, rate,
+                     " (cache-warm epoch, excluded)" if epoch == 0 else "")
+        if epoch > 0:
+            epoch_rates.append(rate)
+    cache = loader.decode_cache
+    return {
+        "mode": f"{mode}+loader_only",
+        "decode_cache_mb": decode_cache_mb,
+        "loader_images_per_sec": round(max(epoch_rates), 1),
+        "epoch_rates": [round(r, 1) for r in epoch_rates],
+        "num_workers": num_workers,
+        "records_per_epoch": n,
+        "cache_hits": cache.hits if cache else None,
+        "cache_misses": cache.misses if cache else None,
+    }
 
 
 def measure_e2e(mode: str, img_root: str, ann: str, batch_size: int = 128,
@@ -246,6 +285,8 @@ def main() -> None:
     p.add_argument("--device-prefetch", type=int, default=0,
                    help="overlap host->device transfer with the step: "
                         "queue depth (0 disables)")
+    p.add_argument("--loader-only", action="store_true",
+                   help="host-pipeline ceiling: no device in the loop")
     args = p.parse_args()
 
     if args.data_root and args.ann:
@@ -260,15 +301,21 @@ def main() -> None:
     for mode in args.modes.split(","):
         mode = mode.strip()
         assert mode in MODES, f"unknown mode {mode!r}"
-        results.append(measure_e2e(
-            mode, img_root, ann, batch_size=args.batch_size,
-            epochs=args.epochs, num_workers=args.num_workers,
-            backbone=args.backbone, head=args.head,
-            decode_cache_mb=args.decode_cache_mb,
-            device_prefetch=args.device_prefetch))
+        if args.loader_only:
+            results.append(measure_loader_only(
+                mode, img_root, ann, batch_size=args.batch_size,
+                epochs=args.epochs, num_workers=args.num_workers,
+                decode_cache_mb=args.decode_cache_mb))
+        else:
+            results.append(measure_e2e(
+                mode, img_root, ann, batch_size=args.batch_size,
+                epochs=args.epochs, num_workers=args.num_workers,
+                backbone=args.backbone, head=args.head,
+                decode_cache_mb=args.decode_cache_mb,
+                device_prefetch=args.device_prefetch))
         print(json.dumps(results[-1]), flush=True)
-    print(json.dumps({"e2e_summary": {r["mode"]: r["e2e_images_per_sec"]
-                                      for r in results}}))
+    key = "loader_images_per_sec" if args.loader_only else "e2e_images_per_sec"
+    print(json.dumps({"e2e_summary": {r["mode"]: r[key] for r in results}}))
 
 
 if __name__ == "__main__":
