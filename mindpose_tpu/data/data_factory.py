@@ -63,6 +63,7 @@ def create_pipeline(
     final_columns: Optional[List[str]] = None,
     image_bucket: Optional[int] = None,
     decode_cache_mb: float = 0,
+    frame_grouped_shuffle: bool = False,
 ) -> DataLoader:
     """Build the transform pipeline and return a batched DataLoader.
 
@@ -131,6 +132,7 @@ def create_pipeline(
         seed=seed,
         image_bucket=image_bucket,
         decode_cache_mb=decode_cache_mb,
+        frame_grouped_shuffle=frame_grouped_shuffle,
     )
 
 

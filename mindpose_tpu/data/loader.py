@@ -148,6 +148,7 @@ class DataLoader:
         worker_mode: str = "thread",
         image_bucket: Optional[int] = None,
         decode_cache_mb: float = 0,
+        frame_grouped_shuffle: bool = False,
     ) -> None:
         self.dataset = dataset
         self.transforms = list(transforms)
@@ -176,6 +177,25 @@ class DataLoader:
 
         self._indices = np.arange(len(dataset))[self.rank_id :: self.device_num]
         self._pool = None  # lazily created process pool (worker_mode="process")
+
+        # frame-grouped shuffling: shuffle FRAMES, keep this frame's records
+        # adjacent. With the decoded-frame cache this makes the decode hit
+        # rate (records/frame - 1)/records/frame deterministically — on
+        # datasets far larger than any cache budget (COCO train: ~2.5
+        # top-down records/frame), record-level shuffling almost never
+        # re-hits a frame before eviction. Opt-in: batches become
+        # frame-correlated, a (mild) divergence from the reference's
+        # record-level shuffle (ref data_factory.py:63-66).
+        self.frame_grouped_shuffle = frame_grouped_shuffle
+        self._frame_groups: Optional[List[np.ndarray]] = None
+        if frame_grouped_shuffle:
+            records = getattr(dataset, "_dataset", None)
+            groups: Dict[Any, List[int]] = {}
+            for i in self._indices:
+                key = (records[int(i)].get("image_file", int(i))
+                       if records is not None else int(i))
+                groups.setdefault(key, []).append(int(i))
+            self._frame_groups = [np.asarray(v) for v in groups.values()]
 
     def __len__(self) -> int:
         n = len(self._indices)
@@ -246,6 +266,13 @@ class DataLoader:
         idx = self._indices
         if self.is_train:
             rng = np.random.RandomState(self.seed + self.epoch)
+            if self._frame_groups is not None:
+                parts = []
+                for g in rng.permutation(len(self._frame_groups)):
+                    grp = self._frame_groups[g].copy()
+                    rng.shuffle(grp)
+                    parts.append(grp)
+                return np.concatenate(parts)
             idx = idx.copy()
             rng.shuffle(idx)
         return idx

@@ -110,7 +110,8 @@ def make_synth_coco(root: str, num_images: int, people_per_img: int = 8,
 
 
 def build_loader(mode: str, img_root: str, ann: str, batch_size: int,
-                 num_workers: int, decode_cache_mb: float = 0):
+                 num_workers: int, decode_cache_mb: float = 0,
+                 frame_grouped_shuffle: bool = False):
     from mindpose_tpu.data import create_dataset, create_pipeline
 
     ds = create_dataset(img_root, ann, dataset_format="coco_topdown",
@@ -148,7 +149,8 @@ def build_loader(mode: str, img_root: str, ann: str, batch_size: int,
         is_train=True, normalize=(mode == "host"), normalize_mean=MEAN,
         normalize_std=STD, num_workers=num_workers, config=DATASET_SETTING,
         seed=0, final_columns=final_columns, image_bucket=image_bucket,
-        decode_cache_mb=decode_cache_mb)
+        decode_cache_mb=decode_cache_mb,
+        frame_grouped_shuffle=frame_grouped_shuffle)
     cols = final_columns or ["image", "target", "target_weight"]
     return loader, preprocess, cols
 
@@ -156,7 +158,8 @@ def build_loader(mode: str, img_root: str, ann: str, batch_size: int,
 def measure_loader_only(mode: str, img_root: str, ann: str,
                         batch_size: int = 128, epochs: int = 3,
                         num_workers: int = 8,
-                        decode_cache_mb: float = 0) -> dict:
+                        decode_cache_mb: float = 0,
+                        frame_grouped_shuffle: bool = False) -> dict:
     """Host-pipeline ceiling: iterate the loader with no device in the loop.
 
     This is the number that binds on real TPU hosts (fat PCIe/ICI link):
@@ -164,7 +167,8 @@ def measure_loader_only(mode: str, img_root: str, ann: str,
     decoded-frame cache and is excluded.
     """
     loader, _, cols = build_loader(mode, img_root, ann, batch_size,
-                                   num_workers, decode_cache_mb)
+                                   num_workers, decode_cache_mb,
+                                   frame_grouped_shuffle)
     epoch_rates = []
     n = 0
     for epoch in range(epochs):
@@ -287,6 +291,9 @@ def main() -> None:
                         "queue depth (0 disables)")
     p.add_argument("--loader-only", action="store_true",
                    help="host-pipeline ceiling: no device in the loop")
+    p.add_argument("--frame-grouped-shuffle", action="store_true",
+                   help="shuffle frames (same-frame records adjacent) so "
+                        "the decode cache hits with a tiny budget")
     args = p.parse_args()
 
     if args.data_root and args.ann:
@@ -305,7 +312,8 @@ def main() -> None:
             results.append(measure_loader_only(
                 mode, img_root, ann, batch_size=args.batch_size,
                 epochs=args.epochs, num_workers=args.num_workers,
-                decode_cache_mb=args.decode_cache_mb))
+                decode_cache_mb=args.decode_cache_mb,
+                frame_grouped_shuffle=args.frame_grouped_shuffle))
         else:
             results.append(measure_e2e(
                 mode, img_root, ann, batch_size=args.batch_size,

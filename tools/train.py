@@ -204,6 +204,10 @@ def train(args) -> None:
         final_columns=final_columns_override,
         image_bucket=image_bucket,
         decode_cache_mb=getattr(args, "decode_cache_mb", 0) or 0,
+        # shuffle frames, not records: makes the decode-cache hit rate
+        # (records/frame - 1)/records/frame on any dataset size
+        frame_grouped_shuffle=bool(
+            getattr(args, "frame_grouped_shuffle", False)),
     )
 
     val_while_train = getattr(args, "val_while_train", False)
