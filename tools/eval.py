@@ -57,6 +57,9 @@ def evaluate(args):
         normalize_std=args.normalize_std,
         num_workers=getattr(args, "num_parallel_workers", 4),
         config=args.dataset_setting,
+        # val re-decodes each frame once per person record: the decoded-frame
+        # LRU elides the repeats (no shuffle at eval, records are grouped)
+        decode_cache_mb=getattr(args, "decode_cache_mb", 0) or 0,
     )
 
     net = create_network(
