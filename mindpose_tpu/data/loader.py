@@ -43,6 +43,7 @@ class DecodedFrameCache:
         self._budget = int(budget_mb * 1024 * 1024)
         self._lock = threading.Lock()
         self._frames: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._inflight: Dict[str, threading.Event] = {}
         self._bytes = 0
         self.hits = 0
         self.misses = 0
@@ -69,6 +70,42 @@ class DecodedFrameCache:
                 self._frames[path] = arr
                 self._bytes += arr.nbytes
         return arr
+
+    def get_or_decode(self, path: str, decode_fn) -> np.ndarray:
+        """Cache lookup with in-flight coalescing.
+
+        When several loader threads touch the SAME frame concurrently (the
+        common case under frame-grouped shuffling: a frame's records are
+        adjacent, so workers race on first touch), only one thread decodes;
+        the others wait on its event instead of re-decoding. If the decoder
+        raises or the frame is too big to cache, waiters fall back to
+        decoding themselves.
+        """
+        arr = self.get(path)
+        if arr is not None:
+            return arr
+        with self._lock:
+            arr = self._frames.get(path)
+            if arr is not None:
+                self.hits += 1
+                return arr
+            ev = self._inflight.get(path)
+            owner = ev is None
+            if owner:
+                ev = threading.Event()
+                self._inflight[path] = ev
+        if owner:
+            try:
+                arr = decode_fn()
+                arr = self.put(path, arr)
+            finally:
+                with self._lock:
+                    self._inflight.pop(path, None)
+                ev.set()
+            return arr
+        ev.wait()
+        arr = self.get(path)
+        return arr if arr is not None else decode_fn()
 
 # --- process-worker machinery -----------------------------------------------
 # Threads cap at ~250 samples/s on the full top-down transform stack (the
@@ -111,18 +148,15 @@ def _decode_image(
 ) -> Dict[str, Any]:
     """Read + decode the record's image file into an RGB uint8 HWC array."""
     path = state["image_file"]
-    if cache is not None:
-        cached = cache.get(path)
-        if cached is not None:
-            state["image"] = cached
-            return state
-    img = cv2.imread(path, cv2.IMREAD_COLOR)
-    if img is None:
-        raise FileNotFoundError(f"cannot read image: {path}")
-    rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-    if cache is not None:
-        rgb = cache.put(path, rgb)
-    state["image"] = rgb
+
+    def _read() -> np.ndarray:
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(f"cannot read image: {path}")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    state["image"] = _read() if cache is None else cache.get_or_decode(
+        path, _read)
     return state
 
 

@@ -90,3 +90,58 @@ def test_cached_frames_are_readonly(tmp_path):
                           cache)
     with pytest.raises(ValueError):
         state["image"][0, 0, 0] = 255
+
+
+def test_get_or_decode_coalesces_concurrent_decodes():
+    """N threads touching the same frame -> exactly one decode."""
+    import threading
+    import time
+
+    from mindpose_tpu.data.loader import DecodedFrameCache
+
+    cache = DecodedFrameCache(64)
+    calls = []
+    lock = threading.Lock()
+
+    def slow_decode():
+        with lock:
+            calls.append(1)
+        time.sleep(0.05)
+        return np.zeros((8, 8, 3), np.uint8)
+
+    results = [None] * 8
+
+    def worker(i):
+        results[i] = cache.get_or_decode("/img/frame.jpg", slow_decode)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1, f"expected 1 decode, got {len(calls)}"
+    for r in results:
+        assert r is not None and r.shape == (8, 8, 3)
+
+
+def test_get_or_decode_waiters_survive_decoder_failure():
+    import threading
+
+    from mindpose_tpu.data.loader import DecodedFrameCache
+
+    cache = DecodedFrameCache(64)
+    attempts = []
+
+    def decode():
+        attempts.append(1)
+        if len(attempts) == 1:
+            raise OSError("truncated jpeg")
+        return np.ones((4, 4, 3), np.uint8)
+
+    import pytest
+
+    with pytest.raises(OSError):
+        cache.get_or_decode("/img/bad.jpg", decode)
+    # the in-flight slot was cleaned up; a retry decodes fresh
+    out = cache.get_or_decode("/img/bad.jpg", decode)
+    assert out.shape == (4, 4, 3)
