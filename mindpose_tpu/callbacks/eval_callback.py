@@ -39,6 +39,7 @@ class EvalCallback:
         summary_dir: str = "./summary",
         rank_id: Optional[int] = None,
         device_num: Optional[int] = None,
+        async_checkpoint: bool = False,
     ) -> None:
         self.inferencer = inferencer
         self.evaluator = evaluator
@@ -53,6 +54,9 @@ class EvalCallback:
         self.summary_dir = summary_dir
         self.rank_id = rank_id if rank_id is not None else 0
         self.device_num = device_num or 1
+        # move msgpack serialization + disk write off the train loop
+        # (utils/checkpoint.py:save_checkpoint async_write)
+        self.async_checkpoint = async_checkpoint
 
         self.best_metric = -np.inf
         self.loss_meter = AverageMeter()
@@ -124,7 +128,8 @@ class EvalCallback:
             state = replicate_sharded(state)
         if self._is_rank0():
             if self.save_last:
-                save_checkpoint(self.last_ckpt_path, state)
+                save_checkpoint(self.last_ckpt_path, state,
+                                async_write=self.async_checkpoint)
             if run_eval:
                 variables = {
                     "params": state.params, "batch_stats": state.batch_stats
@@ -138,7 +143,8 @@ class EvalCallback:
                              self.target_metric_name, target)
                 if self.save_best and target > self.best_metric:
                     self.best_metric = target
-                    save_checkpoint(self.best_ckpt_path, state)
+                    save_checkpoint(self.best_ckpt_path, state,
+                                    async_write=self.async_checkpoint)
                     logging.info("best %s = %.4f, checkpoint saved.",
                                  self.target_metric_name, target)
             self._write_summary(record)

@@ -7,5 +7,6 @@ from .checkpoint import (
     load_pretrained_backbone,
     restore_train_state,
     save_checkpoint,
+    wait_pending_checkpoints,
 )
 from .misc import AverageMeter, StepTimer, allreduce_mean

@@ -8,6 +8,7 @@ backbone-pretrained loading is non-strict subtree copy by matching names.
 """
 import logging
 import os
+import threading
 from typing import Any, Dict
 
 import jax
@@ -18,18 +19,61 @@ __all__ = [
     "load_checkpoint",
     "restore_train_state",
     "load_pretrained_backbone",
+    "wait_pending_checkpoints",
 ]
 
+# per-path writer threads for async saves (ordering: a new save to the same
+# path joins the previous one first, so the file always ends at the newest
+# state and tmp files never collide)
+_WRITERS: Dict[str, threading.Thread] = {}
+_WRITERS_LOCK = threading.Lock()
 
-def save_checkpoint(path: str, state: Any) -> None:
-    """Serialize a pytree (e.g. TrainState) to ``path`` atomically."""
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    state = jax.device_get(state)
+
+def _write_atomic(path: str, state: Any) -> None:
     data = serialization.to_bytes(state)
-    tmp = path + ".tmp"
+    tmp = f"{path}.tmp{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
+
+
+def save_checkpoint(path: str, state: Any, async_write: bool = False) -> None:
+    """Serialize a pytree (e.g. TrainState) to ``path`` atomically.
+
+    ``async_write=True`` snapshots the state to host synchronously (cheap:
+    one device_get) and moves the msgpack serialization + disk write to a
+    background thread — at ViT-H scale that is multiple GB per save, which
+    would otherwise stall the train loop. Threads are non-daemon, so an
+    exiting process finishes in-flight writes; call
+    :func:`wait_pending_checkpoints` to block explicitly (e.g. before
+    reading the file back).
+    """
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    state = jax.device_get(state)
+    if not async_write:
+        _write_atomic(path, state)
+        return
+    key = os.path.abspath(path)
+    with _WRITERS_LOCK:
+        prev = _WRITERS.get(key)
+
+    def run():
+        if prev is not None:
+            prev.join()
+        _write_atomic(path, state)
+
+    t = threading.Thread(target=run, name=f"ckpt-write:{path}")
+    with _WRITERS_LOCK:
+        _WRITERS[key] = t
+    t.start()
+
+
+def wait_pending_checkpoints() -> None:
+    """Block until every async checkpoint write has finished."""
+    with _WRITERS_LOCK:
+        threads = list(_WRITERS.values())
+    for t in threads:
+        t.join()
 
 
 def load_checkpoint(path: str, target: Any) -> Any:

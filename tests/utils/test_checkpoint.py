@@ -71,3 +71,43 @@ def test_load_pretrained_backbone_shape_mismatch_skipped(tmp_path, caplog):
     out = load_pretrained_backbone(path, _variables(0.0))
     assert (out["params"]["backbone"]["conv"]["kernel"] == 0.0).all()
     assert (out["params"]["backbone"]["bn"]["scale"] == 7.0).all()
+
+
+def test_async_save_matches_sync(tmp_path):
+    import numpy as np
+
+    from mindpose_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+        wait_pending_checkpoints,
+    )
+
+    state = {"params": {"w": np.arange(12.0).reshape(3, 4)},
+             "step": np.int32(7)}
+    sync_path = str(tmp_path / "sync.ckpt")
+    async_path = str(tmp_path / "async.ckpt")
+    save_checkpoint(sync_path, state)
+    save_checkpoint(async_path, state, async_write=True)
+    wait_pending_checkpoints()
+    target = {"params": {"w": np.zeros((3, 4))}, "step": np.int32(0)}
+    a = load_checkpoint(async_path, target)
+    b = load_checkpoint(sync_path, target)
+    np.testing.assert_array_equal(a["params"]["w"], b["params"]["w"])
+    assert int(a["step"]) == 7
+
+
+def test_async_saves_to_same_path_keep_order(tmp_path):
+    import numpy as np
+
+    from mindpose_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+        wait_pending_checkpoints,
+    )
+
+    path = str(tmp_path / "seq.ckpt")
+    for step in range(5):
+        save_checkpoint(path, {"step": np.int32(step)}, async_write=True)
+    wait_pending_checkpoints()
+    out = load_checkpoint(path, {"step": np.int32(-1)})
+    assert int(out["step"]) == 4

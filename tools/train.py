@@ -45,7 +45,12 @@ from mindpose_tpu.parallel import (
     shard_train_state,
 )
 from mindpose_tpu.scheduler import create_lr_scheduler
-from mindpose_tpu.utils import StepTimer, load_pretrained_backbone, restore_train_state
+from mindpose_tpu.utils import (
+    StepTimer,
+    load_pretrained_backbone,
+    restore_train_state,
+    wait_pending_checkpoints,
+)
 from common.log import setup_default_logging
 from mindpose_tpu.utils.cache import enable_compilation_cache
 
@@ -379,6 +384,9 @@ def train(args) -> None:
         summary_dir=os.path.join(ckpt_dir, "summary"),
         rank_id=rank_id,
         device_num=process_count,
+        # async_checkpoint: true -> serialization + disk write happen off
+        # the train loop (GBs per save at ViT-H scale)
+        async_checkpoint=bool(getattr(args, "async_checkpoint", False)),
     )
 
     # ---- train loop (replaces model.train(sink_mode), ref train.py:233) ----
@@ -438,6 +446,7 @@ def train(args) -> None:
                 timer.images_per_sec * process_count,
                 timer.images_per_sec * process_count / max(len(devices), 1),
             )
+        wait_pending_checkpoints()
     except BaseException:
         # crash-resume: persist the last completed state before propagating
         # (the reference's closest analogue is the OpenI try/finally upload,
