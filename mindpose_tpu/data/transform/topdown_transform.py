@@ -384,3 +384,57 @@ class TopDownRandomScaleRotation(TopDownTransform):
         r_factor = np.clip(np.random.randn() * rf, -rf * 2, rf * 2)
         r = np.float32(r_factor) if np.random.rand() <= self.rot_prob else np.float32(0.0)
         return dict(scale=s, rotation=r)
+
+
+@register("transform", extra_name="topdown_generate_simcc_target")
+class TopDownGenerateSimCCTarget(TopDownTransform):
+    """Per-axis discrete Gaussian label distributions over SimCC bins.
+
+    Beyond the reference: pairs with models/heads/simcc_head.py
+    (arXiv:2107.03332). For each visible joint at input-image coords (x, y),
+    the labels are Gaussians centered at x*split_ratio / y*split_ratio over
+    the bin axes, each normalized to sum 1 (proper distributions for the
+    KL loss). Emits ``target`` [K, Bx+By] (x labels then y labels) and
+    ``target_weight`` [K]; joints whose peak falls outside the bin range
+    get weight 0, mirroring the heatmap encoder's out-of-window rule.
+    """
+
+    def __init__(
+        self,
+        is_train: bool = True,
+        config: Optional[Dict[str, Any]] = None,
+        sigma: float = 6.0,
+        split_ratio: float = 2.0,
+    ) -> None:
+        super().__init__(is_train=is_train, config=config)
+        self.sigma = sigma
+        self.split_ratio = split_ratio
+
+    def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        image_size = self._transform_cfg["image_size"]
+        bx = int(round(float(image_size[0]) * self.split_ratio))
+        by = int(round(float(image_size[1]) * self.split_ratio))
+        keypoints = state["keypoints"]
+        num_joints = keypoints.shape[0]
+
+        mu = keypoints[:, :2].astype(np.float32) * self.split_ratio  # [K, 2]
+        vis = keypoints[:, 2] > 0
+        inside = (
+            (mu[:, 0] >= 0) & (mu[:, 0] < bx)
+            & (mu[:, 1] >= 0) & (mu[:, 1] < by)
+        )
+        target_weight = (vis & inside).astype(np.float32)
+
+        def labels(centers, n_bins):
+            grid = np.arange(n_bins, dtype=np.float32)[None, :]
+            g = np.exp(
+                -((grid - centers[:, None]) ** 2) / (2.0 * self.sigma**2)
+            )
+            s = g.sum(axis=1, keepdims=True)
+            return g / np.maximum(s, 1e-12)
+
+        target = np.zeros((num_joints, bx + by), dtype=np.float32)
+        target[:, :bx] = labels(mu[:, 0], bx)
+        target[:, bx:] = labels(mu[:, 1], by)
+        target *= target_weight[:, None]
+        return dict(target=target, target_weight=target_weight)

@@ -2,3 +2,4 @@ from .ae import AELoss
 from .loss import Loss
 from .mse import JointsMSELoss, JointsMSELossWithMask
 from .multi_loss import AEMultiLoss
+from .simcc import KLDiscretLoss
