@@ -19,7 +19,17 @@ def bench(backbone_args, B=128, iters=20, backbone="hrnet_w32",
     net = mp.create_network(backbone, head, dtype=jnp.bfloat16,
                             backbone_args=backbone_args,
                             head_args=head_args or {})
-    loss = mp.create_loss("joint_mse", use_target_weight=True)
+    rng = np.random.RandomState(0)
+    if head == "simcc_head":
+        # bin-label targets, KL loss (configs/simcc)
+        ratio = (head_args or {}).get("split_ratio", 2.0)
+        bins = int(192 * ratio) + int(256 * ratio)
+        loss = mp.create_loss("kl_discret", use_target_weight=True)
+        y = rng.rand(B, 17, bins).astype(np.float32)
+        y /= y.sum(-1, keepdims=True)
+    else:
+        loss = mp.create_loss("joint_mse", use_target_weight=True)
+        y = rng.rand(B, 64, 48, 17).astype(np.float32)
     nwl = mp.create_network_with_loss(net, loss, has_extra_inputs=True)
     image = jnp.zeros((1, 256, 192, 3), jnp.float32)
     variables = net.init(jax.random.PRNGKey(0), image, train=False)
@@ -27,9 +37,8 @@ def bench(backbone_args, B=128, iters=20, backbone="hrnet_w32",
                           weight_decay=0.05)
     state = create_train_state(variables, tx)
     step = build_train_step(nwl, tx, mesh=None, accum_steps=accum)
-    rng = np.random.RandomState(0)
     x = jax.device_put(rng.rand(B, 256, 192, 3).astype(np.float32))
-    y = jax.device_put(rng.rand(B, 64, 48, 17).astype(np.float32))
+    y = jax.device_put(y)
     w = jax.device_put(np.ones((B, 17), np.float32))
     for _ in range(3):
         state, lv = step(state, x, y, w)
