@@ -161,3 +161,61 @@ def test_tiny_train_loss_decreases():
         state, lv = step(state, *batch)
         losses.append(float(jnp.sum(lv)))
     assert losses[-1] < losses[0]
+
+
+def test_simcc_flip_tta_alignment():
+    """The bin-mirror + (ratio-1)-bin realignment recovers the unflipped
+    peak exactly: a stub net returns ideal labels for the original keypoints
+    on the original image and for the fliplr'd keypoints on the mirror."""
+    from mindpose_tpu.data.transform.utils import fliplr_joints
+    from mindpose_tpu.engine.inferencer.simcc_inferencer import SimCCInferencer
+
+    W, H, ratio = 48, 64, 2.0
+    t = TopDownGenerateSimCCTarget(config=SETTING, sigma=2.0, split_ratio=ratio)
+    kps = np.array([[10.0, 20.0, 2.0], [33.5, 47.0, 2.0], [5.0, 60.0, 2.0]],
+                   np.float32)
+    flipped_kps = fliplr_joints(kps, W, flip_index=[0, 2, 1])
+
+    def to_logits(target):
+        bx = int(W * ratio)
+        return (jnp.log(jnp.asarray(target[None, :, :bx]) + 1e-12),
+                jnp.log(jnp.asarray(target[None, :, bx:]) + 1e-12))
+
+    lo = to_logits(t.transform({"keypoints": kps})["target"])
+    lf = to_logits(t.transform({"keypoints": flipped_kps})["target"])
+
+    decoder = mp.create_decoder("simcc", input_size=[W, H],
+                                split_ratio=ratio, sigma=2.0,
+                                to_original=False)
+
+    class _StubNet:
+        """flag pixel [0,0,0,0] is 0 on the original, 1 after the mirror."""
+        output_raw = False
+        decoder = None
+
+        def apply(self, variables, image, train=False):
+            flag = image[0, 0, 0, 0]
+            return tuple((1.0 - flag) * a + flag * b
+                         for a, b in zip(lo, lf))
+
+    class _StubEvalNet:
+        net = _StubNet()
+        output_raw = False
+        decoder = None
+
+    inferencer = SimCCInferencer(
+        _StubEvalNet(), decoder=decoder,
+        config={"hflip_tta": True, "flip_pairs": [[1, 2]],
+                "batch_size": None},
+    )
+    fwd = inferencer._build_forward()
+    image = np.zeros((1, H, W, 3), np.float32)
+    image[0, 0, W - 1, 0] = 1.0  # lands on [0,0,0,0] after the mirror
+    preds, _ = fwd({}, jnp.asarray(image), jnp.zeros((1, 2)),
+                   jnp.ones((1, 2)), jnp.ones((1,)))
+    got = np.asarray(preds)[0, :, :2]
+    # exact agreement with the single-view decode of the original labels
+    solo, _ = decoder(lo, jnp.zeros((1, 2)), jnp.ones((1, 2)),
+                      jnp.ones((1,)))
+    np.testing.assert_allclose(got, np.asarray(solo)[0, :, :2], atol=1e-6)
+    np.testing.assert_allclose(got, kps[:, :2], atol=0.5)
