@@ -21,7 +21,7 @@ from typing import Any, Callable, Dict, List, Tuple
 import jax.numpy as jnp
 
 from ..ops.image import affine_warp, normalize_image
-from ..ops.target import generate_topdown_targets
+from ..ops.target import generate_simcc_targets, generate_topdown_targets
 
 __all__ = [
     "DEVICE_FINAL_COLUMNS",
@@ -41,7 +41,12 @@ DEVICE_FULL_FINAL_COLUMNS = ["image", "warp_mat", "keypoints"]
 def strip_host_target_transform(
     transforms: List[Any],
 ) -> Tuple[List[Any], Dict[str, Any]]:
-    """Remove topdown_generate_target from the list; return its kwargs."""
+    """Remove the host target-encode transform from the list.
+
+    Returns its kwargs; for the SimCC variant a ``target_type: "simcc"``
+    marker is added so build_topdown_preprocess renders bin labels instead
+    of heatmaps.
+    """
     kept = []
     target_kwargs: Dict[str, Any] = {}
     for t in transforms:
@@ -49,6 +54,11 @@ def strip_host_target_transform(
         if name == "topdown_generate_target":
             if isinstance(t, dict):
                 target_kwargs = dict(list(t.values())[0] or {})
+            continue
+        if name == "topdown_generate_simcc_target":
+            if isinstance(t, dict):
+                target_kwargs = dict(list(t.values())[0] or {})
+            target_kwargs["target_type"] = "simcc"
             continue
         kept.append(t)
     return kept, target_kwargs
@@ -61,9 +71,15 @@ def build_topdown_preprocess(
     normalize_std,
     sigma: float = 2.0,
     use_udp: bool = False,
+    target_type: str = "heatmap",
+    split_ratio: float = 2.0,
 ) -> Callable:
     """Preprocess closure for build_train_step: (image, keypoints) ->
-    (normalized image, target, target_weight)."""
+    (normalized image, target, target_weight).
+
+    ``target_type="simcc"`` renders per-axis bin labels
+    (ops/target.py:generate_simcc_targets) instead of Gaussian heatmaps.
+    """
     mean = jnp.asarray(normalize_mean, jnp.float32)
     std = jnp.asarray(normalize_std, jnp.float32)
     hm = (int(heatmap_size[0]), int(heatmap_size[1]))
@@ -71,10 +87,16 @@ def build_topdown_preprocess(
 
     def preprocess(image, keypoints):
         image = normalize_image(image, mean, std)
-        target, weight = generate_topdown_targets(
-            keypoints, heatmap_size=hm, image_size=im, sigma=sigma,
-            use_udp=use_udp,
-        )
+        if target_type == "simcc":
+            target, weight = generate_simcc_targets(
+                keypoints, input_size=im, split_ratio=split_ratio,
+                sigma=sigma,
+            )
+        else:
+            target, weight = generate_topdown_targets(
+                keypoints, heatmap_size=hm, image_size=im, sigma=sigma,
+                use_udp=use_udp,
+            )
         return image, target, weight
 
     return preprocess

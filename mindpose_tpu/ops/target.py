@@ -13,7 +13,11 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["generate_topdown_targets", "generate_bottomup_targets"]
+__all__ = [
+    "generate_topdown_targets",
+    "generate_bottomup_targets",
+    "generate_simcc_targets",
+]
 
 
 @partial(jax.jit, static_argnames=("heatmap_size", "sigma"))
@@ -170,3 +174,49 @@ def generate_topdown_targets(
     active = (weight > 0.5)[:, None, None, :]
     target = jnp.where(win & active, g, 0.0)
     return target.astype(jnp.float32), weight.astype(jnp.float32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("input_size", "split_ratio", "sigma"),
+)
+def generate_simcc_targets(
+    keypoints: jnp.ndarray,
+    input_size: Tuple[int, int],
+    split_ratio: float = 2.0,
+    sigma: float = 6.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-axis discrete Gaussian SimCC labels, on device.
+
+    Bit-parity counterpart of the host TopDownGenerateSimCCTarget
+    (data/transform/topdown_transform.py): Gaussians over the x/y bin axes
+    centered at keypoints * split_ratio, each normalized to sum 1, zeroed
+    (with weight 0) when the peak falls outside the bin range or the joint
+    is invisible.
+
+    Args:
+        keypoints: [N, K, 3] (x, y in input-image pixels, visibility).
+        input_size: (W, H).
+
+    Returns:
+        target [N, K, Bx+By] float32, target_weight [N, K] float32.
+    """
+    bx = int(round(float(input_size[0]) * split_ratio))
+    by = int(round(float(input_size[1]) * split_ratio))
+    mu = keypoints[..., :2].astype(jnp.float32) * split_ratio  # [N, K, 2]
+    vis = keypoints[..., 2] > 0
+    inside = (
+        (mu[..., 0] >= 0) & (mu[..., 0] < bx)
+        & (mu[..., 1] >= 0) & (mu[..., 1] < by)
+    )
+    weight = (vis & inside).astype(jnp.float32)
+
+    def labels(centers, n_bins):
+        grid = jnp.arange(n_bins, dtype=jnp.float32)
+        g = jnp.exp(-((grid - centers[..., None]) ** 2) / (2.0 * sigma**2))
+        return g / jnp.maximum(g.sum(axis=-1, keepdims=True), 1e-12)
+
+    target = jnp.concatenate(
+        [labels(mu[..., 0], bx), labels(mu[..., 1], by)], axis=-1
+    )
+    return target * weight[..., None], weight

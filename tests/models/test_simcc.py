@@ -219,3 +219,24 @@ def test_simcc_flip_tta_alignment():
                       jnp.ones((1,)))
     np.testing.assert_allclose(got, np.asarray(solo)[0, :, :2], atol=1e-6)
     np.testing.assert_allclose(got, kps[:, :2], atol=0.5)
+
+
+def test_simcc_device_encode_matches_host():
+    """ops/target.generate_simcc_targets == the host transform, batched."""
+    from mindpose_tpu.ops.target import generate_simcc_targets
+
+    t = TopDownGenerateSimCCTarget(config=SETTING, sigma=2.0, split_ratio=2.0)
+    rng = np.random.RandomState(3)
+    kps = np.concatenate(
+        [rng.uniform(-10, 58, (6, 3, 1)),     # some x outside [0, 48)
+         rng.uniform(-10, 74, (6, 3, 1)),     # some y outside [0, 64)
+         rng.choice([0.0, 1.0, 2.0], (6, 3, 1))], axis=-1).astype(np.float32)
+
+    host_t = np.stack(
+        [t.transform({"keypoints": k})["target"] for k in kps])
+    host_w = np.stack(
+        [t.transform({"keypoints": k})["target_weight"] for k in kps])
+    dev_t, dev_w = generate_simcc_targets(
+        jnp.asarray(kps), input_size=(48, 64), split_ratio=2.0, sigma=2.0)
+    np.testing.assert_array_equal(np.asarray(dev_w), host_w)
+    np.testing.assert_allclose(np.asarray(dev_t), host_t, atol=1e-6)
