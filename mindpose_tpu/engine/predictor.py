@@ -48,6 +48,7 @@ class TopDownPredictor:
         normalize_mean=(0.485, 0.456, 0.406),
         normalize_std=(0.229, 0.224, 0.225),
         batch_size: int = 32,
+        decoder_name: str = "topdown_heatmap",
     ) -> None:
         self.net = net
         self.variables = variables
@@ -61,7 +62,7 @@ class TopDownPredictor:
         use_udp = bool((decoder_setting or {}).get("use_udp", False))
         self._affine = TopDownAffine(is_train=False, config=setting, use_udp=use_udp)
 
-        decoder = create_decoder("topdown_heatmap", **(decoder_setting or {}))
+        decoder = create_decoder(decoder_name, **(decoder_setting or {}))
         eval_net = create_eval_network(net, decoder, output_raw=False)
         self._forward = jax.jit(eval_net.apply)
 
@@ -83,6 +84,8 @@ class TopDownPredictor:
             decoder_setting=getattr(args, "decoder_setting", None),
             normalize_mean=args.normalize_mean,
             normalize_std=args.normalize_std,
+            decoder_name=getattr(args, "decoder_name", "topdown_heatmap")
+            or "topdown_heatmap",
             **kwargs,
         )
 

@@ -85,6 +85,8 @@ def main() -> None:
             decoder_setting=getattr(args, "decoder_setting", None),
             normalize_mean=args.normalize_mean,
             normalize_std=args.normalize_std,
+            decoder_name=getattr(args, "decoder_name", "topdown_heatmap")
+            or "topdown_heatmap",
         )
 
     for path in sorted(glob.glob(os.path.join(args.image_dir, "*"))):
