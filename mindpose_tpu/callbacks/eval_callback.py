@@ -84,8 +84,14 @@ class EvalCallback:
         # every step and serialize the async dispatch pipeline
         self._loss_vectors.append(loss_vector)
 
-    def on_epoch_end(self, epoch: int, state: Any, lr: float) -> Dict[str, Any]:
-        """Log, maybe evaluate, maybe checkpoint. Returns eval metrics (or {})."""
+    def on_epoch_end(self, epoch: int, state: Any, lr: float,
+                     ema_params: Any = None) -> Dict[str, Any]:
+        """Log, maybe evaluate, maybe checkpoint. Returns eval metrics (or {}).
+
+        ``ema_params``: when given, evaluation runs on the EMA weights (the
+        standard weight-averaging eval) and best/last saves also write a
+        ``<path>.ema`` file with {"params": ema} next to the train state.
+        """
         epoch_time = time.time() - self._epoch_start
         if self._loss_vectors:
             stacked = np.stack([np.atleast_1d(np.asarray(v)) for v in self._loss_vectors])
@@ -126,25 +132,39 @@ class EvalCallback:
             from ..parallel.fsdp import replicate_sharded
 
             state = replicate_sharded(state)
+            if ema_params is not None:
+                ema_params = replicate_sharded(ema_params)
         if self._is_rank0():
             if self.save_last:
                 save_checkpoint(self.last_ckpt_path, state,
                                 async_write=self.async_checkpoint)
+                if ema_params is not None:
+                    save_checkpoint(self.last_ckpt_path + ".ema",
+                                    {"params": ema_params},
+                                    async_write=self.async_checkpoint)
             if run_eval:
                 variables = {
-                    "params": state.params, "batch_stats": state.batch_stats
+                    "params": state.params if ema_params is None
+                    else ema_params,
+                    "batch_stats": state.batch_stats,
                 }
                 outputs = self.inferencer(self.dataset_val, variables=variables)
                 metrics = self.evaluator(outputs)
                 for name, value in metrics.items():
                     record[f"val/{name}"] = float(value)
                 target = float(metrics[self.target_metric_name])
-                logging.info("epoch: [%d/%d], %s: %.4f", epoch, self.max_epoch,
-                             self.target_metric_name, target)
+                logging.info("epoch: [%d/%d], %s%s: %.4f", epoch,
+                             self.max_epoch, self.target_metric_name,
+                             " (EMA)" if ema_params is not None else "",
+                             target)
                 if self.save_best and target > self.best_metric:
                     self.best_metric = target
                     save_checkpoint(self.best_ckpt_path, state,
                                     async_write=self.async_checkpoint)
+                    if ema_params is not None:
+                        save_checkpoint(self.best_ckpt_path + ".ema",
+                                        {"params": ema_params},
+                                        async_write=self.async_checkpoint)
                     logging.info("best %s = %.4f, checkpoint saved.",
                                  self.target_metric_name, target)
             self._write_summary(record)

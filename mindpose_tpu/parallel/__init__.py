@@ -15,4 +15,10 @@ from .fsdp import (
     replicate_sharded,
     shard_train_state,
 )
-from .train import TrainState, build_train_step, create_train_state, shard_batch
+from .train import (
+    TrainState,
+    build_ema_update,
+    build_train_step,
+    create_train_state,
+    shard_batch,
+)

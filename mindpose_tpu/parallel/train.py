@@ -30,7 +30,27 @@ __all__ = [
     "build_train_step",
     "shard_batch",
     "accum_loss_and_grads",
+    "build_ema_update",
 ]
+
+
+def build_ema_update(decay: float) -> Callable:
+    """Jitted exponential moving average of the parameter pytree.
+
+    ``ema = decay * ema + (1 - decay) * params`` per optimizer step —
+    the standard weight-averaging lever for eval-time stability (not in
+    the reference). Elementwise, so sharded (FSDP) params keep their
+    layout; donating the previous EMA buffer makes it allocation-free.
+    """
+
+    @jax.jit
+    def update(ema_params, params):
+        return jax.tree.map(
+            lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+            ema_params, params,
+        )
+
+    return update
 
 
 def accum_loss_and_grads(

@@ -133,3 +133,19 @@ def test_scheduler_values():
     np.testing.assert_allclose(float(c(0)), 1.0)
     np.testing.assert_allclose(float(c(50)), 0.55, rtol=1e-5)
     np.testing.assert_allclose(float(c(100)), 0.1, rtol=1e-5)
+
+
+def test_ema_update_matches_closed_form():
+    from mindpose_tpu.parallel import build_ema_update
+
+    decay = 0.9
+    update = build_ema_update(decay)
+    params = {"w": jnp.full((4,), 2.0), "b": jnp.full((2,), -1.0)}
+    ema = jax.tree.map(jnp.zeros_like, params)
+    for n in range(1, 6):
+        ema = update(ema, params)
+        # constant params: ema_n = p * (1 - decay^n)
+        expect = 2.0 * (1 - decay**n)
+        np.testing.assert_allclose(np.asarray(ema["w"]), expect, rtol=1e-6)
+    # dtype preserved
+    assert ema["w"].dtype == params["w"].dtype

@@ -36,6 +36,7 @@ from mindpose_tpu.models import (
 )
 from mindpose_tpu.optim import create_optimizer
 from mindpose_tpu.parallel import (
+    build_ema_update,
     build_fsdp_train_step,
     build_train_step,
     create_mesh,
@@ -324,6 +325,23 @@ def train(args) -> None:
             accum_steps=accum_steps,
         )
 
+    # ema_decay > 0: keep an exponential moving average of the params;
+    # eval runs on the EMA weights and best/last saves add a .ema file.
+    # Initialized AFTER shard_train_state so the EMA copy inherits the FSDP
+    # sharding (a replicated copy would defeat the sharding at ViT-H scale).
+    ema_decay = float(getattr(args, "ema_decay", 0.0) or 0.0)
+    ema_params = None
+    ema_step = None
+    if ema_decay:
+        if not 0.0 < ema_decay < 1.0:
+            raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
+        # a REAL device copy (identity tree.map aliases the buffers, which
+        # the first donated train step would delete out from under the EMA)
+        ema_params = jax.tree.map(jnp.copy, state.params)
+        ema_step = build_ema_update(ema_decay)
+        logging.info("EMA enabled (decay %.4f): eval uses averaged weights",
+                     ema_decay)
+
     # ---- eval engines (ref train.py:184-206) ----
     inferencer = evaluator = None
     if val_while_train:
@@ -437,10 +455,12 @@ def train(args) -> None:
                     except StopIteration:
                         break
                     state, loss_vec = step_fn(state, *arrays)
+                    if ema_step is not None:
+                        ema_params = ema_step(ema_params, state.params)
                     callback.on_step_end(loss_vec)
                     timer.stop(arrays[0].shape[0])
             lr_now = float(lr_scheduler(int(state.step)))
-            callback.on_epoch_end(epoch, state, lr_now)
+            callback.on_epoch_end(epoch, state, lr_now, ema_params=ema_params)
             logging.info(
                 "throughput: %.1f images/sec (%.1f/chip)",
                 timer.images_per_sec * process_count,
