@@ -338,6 +338,13 @@ def train(args) -> None:
         # a REAL device copy (identity tree.map aliases the buffers, which
         # the first donated train step would delete out from under the EMA)
         ema_params = jax.tree.map(jnp.copy, state.params)
+        ema_path = (getattr(args, "ckpt", None) or "") + ".ema"
+        if getattr(args, "ckpt", None) and os.path.exists(ema_path):
+            from mindpose_tpu.utils import load_checkpoint
+
+            ema_params = load_checkpoint(
+                ema_path, {"params": ema_params})["params"]
+            logging.info("resumed EMA params from %s", ema_path)
         ema_step = build_ema_update(ema_decay)
         logging.info("EMA enabled (decay %.4f): eval uses averaged weights",
                      ema_decay)
