@@ -55,41 +55,52 @@ EVAL_SETTING = {
                0.089],
 }
 
-# arm -> (train transforms, [(eval label, decoder kwargs), ...]).
+_AUG = [
+    "topdown_box_to_center_scale",
+    {"topdown_horizontal_random_flip": {"flip_prob": 0.5}},
+    {"topdown_halfbody_transform": {"prob_half_body": 0.3,
+                                    "scale_padding": 1.5}},
+    {"topdown_randomscale_rotation": {"rot_factor": 40,
+                                      "scale_factor": 0.5,
+                                      "rot_prob": 0.6}},
+]
+
+# arm spec: transforms, evals [(label, decoder name, decoder kwargs)], loss
+# (name, kwargs); optional head/head_args override the CLI values so arms
+# with different heads (simcc vs heatmap) pair under the same backbone.
 # "+DARK" re-decodes the SAME checkpoint, so its delta is optimizer-noise-free.
 ARMS = {
-    "plain": (
-        [
-            "topdown_box_to_center_scale",
-            {"topdown_horizontal_random_flip": {"flip_prob": 0.5}},
-            {"topdown_halfbody_transform": {"prob_half_body": 0.3,
-                                            "scale_padding": 1.5}},
-            {"topdown_randomscale_rotation": {"rot_factor": 40,
-                                              "scale_factor": 0.5,
-                                              "rot_prob": 0.6}},
-            "topdown_affine",
-            {"topdown_generate_target": {"sigma": 2.0}},
-        ],
-        [("plain", {"shift_coordinate": False})],
+    "plain": dict(
+        transforms=_AUG + ["topdown_affine",
+                           {"topdown_generate_target": {"sigma": 2.0}}],
+        evals=[("plain", "topdown_heatmap", {"shift_coordinate": False})],
+        loss=("joint_mse", {"use_target_weight": True}),
     ),
-    "udp": (
-        [
-            "topdown_box_to_center_scale",
-            {"topdown_horizontal_random_flip": {"flip_prob": 0.5}},
-            {"topdown_halfbody_transform": {"prob_half_body": 0.3,
-                                            "scale_padding": 1.5}},
-            {"topdown_randomscale_rotation": {"rot_factor": 40,
-                                              "scale_factor": 0.5,
-                                              "rot_prob": 0.6}},
+    "udp": dict(
+        transforms=_AUG + [
             {"topdown_affine": {"use_udp": True}},
             {"topdown_generate_target": {"sigma": 2.0, "use_udp": True}},
         ],
-        [
-            ("udp", {"use_udp": True, "dark_udp_refine": False,
-                     "kernel_size": 11}),
-            ("udp+dark", {"use_udp": True, "dark_udp_refine": True,
-                          "kernel_size": 11}),
+        evals=[
+            ("udp", "topdown_heatmap",
+             {"use_udp": True, "dark_udp_refine": False, "kernel_size": 11}),
+            ("udp+dark", "topdown_heatmap",
+             {"use_udp": True, "dark_udp_refine": True, "kernel_size": 11}),
         ],
+        loss=("joint_mse", {"use_target_weight": True}),
+    ),
+    "simcc": dict(
+        transforms=_AUG + [
+            "topdown_affine",
+            {"topdown_generate_simcc_target": {"sigma": 6.0,
+                                               "split_ratio": 2.0}},
+        ],
+        evals=[("simcc", "simcc",
+                {"input_size": [192, 256], "split_ratio": 2.0,
+                 "sigma": 6.0})],
+        loss=("kl_discret", {"use_target_weight": True}),
+        head="simcc_head",
+        head_args={"input_size": [192, 256], "split_ratio": 2.0},
     ),
 }
 
@@ -125,8 +136,11 @@ def train_arm(arm: str, seed: int, data: dict, epochs: int, batch_size: int,
     # encode-mode device pipeline: host ships uint8 crops + raw keypoints,
     # normalize + target-encode fuse into the jitted step (bit-parity tested
     # incl. UDP; 4x less host->device traffic than normalized f32)
-    transforms, _ = ARMS[arm]
-    transforms, target_kwargs = strip_host_target_transform(transforms)
+    spec = ARMS[arm]
+    head = spec.get("head", head)
+    head_args = spec.get("head_args", head_args)
+    transforms, target_kwargs = strip_host_target_transform(
+        spec["transforms"])
     preprocess = build_topdown_preprocess(
         image_size=DATASET_SETTING["image_size"],
         heatmap_size=DATASET_SETTING["heatmap_size"],
@@ -143,7 +157,8 @@ def train_arm(arm: str, seed: int, data: dict, epochs: int, batch_size: int,
 
     net = mp.create_network(backbone, head, dtype=jnp.bfloat16,
                             head_args=head_args or {})
-    loss = mp.create_loss("joint_mse", use_target_weight=True)
+    loss_name, loss_kwargs = spec["loss"]
+    loss = mp.create_loss(loss_name, **loss_kwargs)
     nwl = mp.create_network_with_loss(net, loss, has_extra_inputs=True)
     variables = net.init(jax.random.PRNGKey(seed),
                          jnp.zeros((1, 256, 192, 3), jnp.float32), train=False)
@@ -174,7 +189,8 @@ def train_arm(arm: str, seed: int, data: dict, epochs: int, batch_size: int,
 
 
 def eval_checkpoint(net, state, data: dict, decoder_kwargs: dict,
-                    tta: bool = False) -> dict:
+                    tta: bool = False,
+                    decoder_name: str = "topdown_heatmap") -> dict:
     import mindpose_tpu as mp
     from mindpose_tpu.data import create_dataset, create_pipeline
     from mindpose_tpu.engine import create_evaluator, create_inferencer
@@ -190,17 +206,23 @@ def eval_checkpoint(net, state, data: dict, decoder_kwargs: dict,
     vloader = create_pipeline(vds, val_transforms, method="topdown",
                               batch_size=32, is_train=False,
                               config=DATASET_SETTING, normalize=True)
-    decoder = mp.create_decoder("topdown_heatmap", **decoder_kwargs)
-    eval_net = mp.create_eval_network(net, decoder, output_raw=True)
+    decoder = mp.create_decoder(decoder_name, **decoder_kwargs)
+    eval_net = mp.create_eval_network(
+        net, decoder, output_raw=(decoder_name != "simcc"))
     # --tta = the reference's published eval recipe: hflip TTA + 1-px shift
     # (ref configs/hrnet/README.md:90); UDP decoders skip the shift
     # (ref configs/udp/README.md:94)
     eval_setting = dict(EVAL_SETTING)
+    inferencer_name = "topdown_heatmap"
+    if decoder_name == "simcc":
+        inferencer_name = "simcc"
+        eval_setting["has_heatmap_output"] = False
     if tta:
         eval_setting["hflip_tta"] = True
-        eval_setting["shift_heatmap"] = not decoder_kwargs.get("use_udp",
-                                                               False)
-    inferencer = create_inferencer(eval_net, name="topdown_heatmap",
+        eval_setting["shift_heatmap"] = (
+            decoder_name != "simcc"
+            and not decoder_kwargs.get("use_udp", False))
+    inferencer = create_inferencer(eval_net, name=inferencer_name,
                                    config=eval_setting,
                                    dataset_config=DATASET_SETTING)
     with tempfile.TemporaryDirectory() as td:
@@ -278,9 +300,10 @@ def main() -> None:
             net, state = train_arm(arm, seed, data, args.epochs,
                                    args.batch_size, args.backbone, args.head,
                                    head_args=head_args)
-            for label, dec_kwargs in ARMS[arm][1]:
+            for label, dec_name, dec_kwargs in ARMS[arm]["evals"]:
                 result = eval_checkpoint(net, state, data, dec_kwargs,
-                                         tta=args.tta)
+                                         tta=args.tta,
+                                         decoder_name=dec_name)
                 rec = {"label": label, "arm": arm, "seed": seed,
                        "AP": float(result["AP"]),
                        "AP50": float(result.get("AP .5", -1)),
