@@ -51,6 +51,9 @@ class EvalCallback:
         self.best_ckpt_path = best_ckpt_path
         self.last_ckpt_path = last_ckpt_path
         self.target_metric_name = target_metric_name
+        # EPE/NME are error metrics (lower is better); everything else the
+        # evaluators emit (AP/AR/PCK/AUC) is higher-is-better
+        self._metric_sign = -1.0 if target_metric_name in ("EPE", "NME") else 1.0
         self.summary_dir = summary_dir
         self.rank_id = rank_id if rank_id is not None else 0
         self.device_num = device_num or 1
@@ -157,8 +160,11 @@ class EvalCallback:
                              self.max_epoch, self.target_metric_name,
                              " (EMA)" if ema_params is not None else "",
                              target)
-                if self.save_best and target > self.best_metric:
-                    self.best_metric = target
+                if (
+                    self.save_best
+                    and self._metric_sign * target > self.best_metric
+                ):
+                    self.best_metric = self._metric_sign * target
                     save_checkpoint(self.best_ckpt_path, state,
                                     async_write=self.async_checkpoint)
                     if ema_params is not None:
