@@ -74,12 +74,18 @@ class BottomUpHorizontalRandomFlip(BottomUpTransform):
 
         if np.random.rand() <= self.flip_prob:
             image = cv2.flip(image, 1)
+            flip_index = self._transform_cfg["flip_index"]
+            if len(flip_index) != keypoints.shape[-2]:
+                # trailing unpaired joints (cfg index inferred K = max+1)
+                flip_index = flip_index_from_pairs(
+                    self._transform_cfg["flip_pairs"], keypoints.shape[-2]
+                )
             for i, heatmap_size in enumerate(heatmap_sizes):
                 width, height = heatmap_size
                 patch = mask[i, :height, :width]
                 mask[i, :height, :width] = patch[:, ::-1]
                 keypoints[i] = fliplr_joints(
-                    keypoints[i], width, flip_index=self._transform_cfg["flip_index"]
+                    keypoints[i], width, flip_index=flip_index
                 )
         return dict(image=image, keypoints=keypoints, mask=mask)
 

@@ -284,8 +284,14 @@ class TopDownHorizontalRandomFlip(TopDownTransform):
         if np.random.rand() <= self.flip_prob:
             if not self.defer_to_warp:
                 image = cv2.flip(image, 1)
+            flip_index = self._transform_cfg["flip_index"]
+            if len(flip_index) != keypoints.shape[-2]:
+                # trailing unpaired joints (cfg index inferred K = max+1)
+                flip_index = flip_index_from_pairs(
+                    self._transform_cfg["flip_pairs"], keypoints.shape[-2]
+                )
             keypoints = fliplr_joints(
-                keypoints, image.shape[1], flip_index=self._transform_cfg["flip_index"]
+                keypoints, image.shape[1], flip_index=flip_index
             )
             center = center.copy()
             center[0] = image.shape[1] - center[0]

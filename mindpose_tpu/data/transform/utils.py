@@ -28,20 +28,41 @@ def fliplr_joints(
             flipped[..., left, :] = keypoints[..., right, :]
             flipped[..., right, :] = keypoints[..., left, :]
     else:
-        flipped = keypoints[..., np.asarray(flip_index), :].copy()
+        flip_index = np.asarray(flip_index)
+        if len(flip_index) != keypoints.shape[-2]:
+            raise ValueError(
+                f"flip_index has {len(flip_index)} entries but keypoints "
+                f"have {keypoints.shape[-2]} joints — rebuild it with "
+                f"flip_index_from_pairs(pairs, num_joints)"
+            )
+        flipped = keypoints[..., flip_index, :].copy()
 
     flipped[..., 0] = img_width - 1 - flipped[..., 0]
     return flipped
 
 
-def flip_index_from_pairs(flip_pairs) -> np.ndarray:
-    """[[1,2],[3,4],...] -> [0,2,1,4,3,...] channel permutation."""
+def flip_index_from_pairs(flip_pairs, num_joints: Optional[int] = None) -> np.ndarray:
+    """Full K-joint channel permutation with each pair swapped.
+
+    ``num_joints`` defaults to ``max(pair index) + 1`` — correct whenever no
+    unpaired joint sits after the last paired one (true for COCO and MPII);
+    callers that know the real K should pass it (the flip transforms and
+    TTA inferencers rebuild from the observed joint count when the cached
+    index length mismatches).
+    """
     flip_pairs = np.array(flip_pairs)
-    if flip_pairs.ndim == 2:
-        index = flip_pairs[:, ::-1].flatten()
-        index = np.insert(index, 0, 0)
-    else:
-        index = flip_pairs
+    if flip_pairs.ndim != 2:
+        return flip_pairs  # already a flat permutation
+    if num_joints is None:
+        num_joints = int(flip_pairs.max()) + 1 if flip_pairs.size else 0
+    elif flip_pairs.size and int(flip_pairs.max()) >= num_joints:
+        raise ValueError(
+            f"flip pair index {int(flip_pairs.max())} out of range for "
+            f"num_joints={num_joints}"
+        )
+    index = np.arange(num_joints)
+    for left, right in flip_pairs:
+        index[left], index[right] = right, left
     return index
 
 

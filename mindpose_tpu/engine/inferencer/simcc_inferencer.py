@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...data.transform.utils import flip_index_from_pairs
 from ...register import register
 from .inferencer import Inferencer
 from .topdown_inferencer import TopDownHeatMapInferencer
@@ -38,12 +39,11 @@ class SimCCInferencer(TopDownHeatMapInferencer):
                                                     False)
         cfg["hflip_tta"] = self.config["hflip_tta"]
         cfg["shift_heatmap"] = False  # heatmap-path knob; n/a for bins
-        flip_index = np.array(self.config["flip_pairs"])[:, ::-1].flatten()
-        cfg["flip_index"] = np.insert(flip_index, 0, 0)
+        cfg["flip_pairs"] = np.array(self.config["flip_pairs"])
         return cfg
 
     def _build_forward(self):
-        flip_index = jnp.asarray(self._inference_cfg["flip_index"])
+        flip_pairs = self._inference_cfg["flip_pairs"]
         hflip = self._inference_cfg["hflip_tta"]
         net = self.net
         decoder = self.decoder
@@ -57,7 +57,11 @@ class SimCCInferencer(TopDownHeatMapInferencer):
             xl, yl = net.net.apply(variables, image, train=False)
             xlf, ylf = net.net.apply(variables, image[:, :, ::-1, :],
                                      train=False)
-            # swap left/right joints, mirror the x bin axis, realign
+            # swap left/right joints, mirror the x bin axis, realign;
+            # permutation built at trace time from the real joint count
+            flip_index = jnp.asarray(
+                flip_index_from_pairs(flip_pairs, xlf.shape[1])
+            )
             xlf = xlf[:, flip_index, ::-1]
             ylf = ylf[:, flip_index, :]
             if shift > 0:

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...data.transform.utils import flip_index_from_pairs
 from ...register import register
 from .inferencer import Inferencer
 
@@ -33,12 +34,11 @@ class TopDownHeatMapInferencer(Inferencer):
         cfg["has_heatmap_output"] = self.config["has_heatmap_output"]
         cfg["hflip_tta"] = self.config["hflip_tta"]
         cfg["shift_heatmap"] = self.config["shift_heatmap"]
-        flip_index = np.array(self.config["flip_pairs"])[:, ::-1].flatten()
-        cfg["flip_index"] = np.insert(flip_index, 0, 0)
+        cfg["flip_pairs"] = np.array(self.config["flip_pairs"])
         return cfg
 
     def _build_forward(self):
-        flip_index = jnp.asarray(self._inference_cfg["flip_index"])
+        flip_pairs = self._inference_cfg["flip_pairs"]
         shift_heatmap = self._inference_cfg["shift_heatmap"]
         hflip = self._inference_cfg["hflip_tta"]
         net = self.net
@@ -52,7 +52,12 @@ class TopDownHeatMapInferencer(Inferencer):
             # TTA: average heatmap with channel-flipped horizontal mirror
             heatmap = net.net.apply(variables, image, train=False)
             flipped = net.net.apply(variables, image[:, :, ::-1, :], train=False)
-            # flip back: mirror width, swap left/right joints (NHWC: K last)
+            # flip back: mirror width, swap left/right joints (NHWC: K last);
+            # the permutation is built at trace time from the real channel
+            # count so non-COCO joint layouts (e.g. MPII 16) work
+            flip_index = jnp.asarray(
+                flip_index_from_pairs(flip_pairs, flipped.shape[-1])
+            )
             flipped = flipped[:, :, ::-1, :][..., flip_index]
             if shift_heatmap:
                 # 1-px right shift of the flipped map (ref :185-187)
