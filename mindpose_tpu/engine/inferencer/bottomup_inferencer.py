@@ -11,7 +11,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...data.transform.utils import transform_keypoints
+from ...data.transform.utils import (
+    flip_index_from_pairs,
+    transform_keypoints,
+)
 from ...register import register
 from ...utils.match import match_by_tag
 from .inferencer import Inferencer
@@ -24,10 +27,11 @@ class BottomUpHeatMapAEInferencer(Inferencer):
         super().__init__(net, variables=variables, config=config, mesh=mesh)
         self.progress_bar = progress_bar
         self.decoder = decoder if decoder is not None else net.decoder
-        if self._inference_cfg["hflip_tta"] and not self._inference_cfg[
-            "has_heatmap_output"
-        ]:
-            raise ValueError("flip TTA needs heatmap output.")
+        if not self._inference_cfg["has_heatmap_output"] and (
+            self._inference_cfg["hflip_tta"]
+            or len(self._inference_cfg["multiscale_tta"]) > 1
+        ):
+            raise ValueError("flip/multi-scale TTA needs heatmap output.")
         self._jit_forward = None
 
     def load_inference_cfg(self) -> Dict[str, Any]:
@@ -45,35 +49,87 @@ class BottomUpHeatMapAEInferencer(Inferencer):
         # opt-in: run tag grouping on-device (jittable fixed-capacity
         # matcher, ops/grouping.py) instead of host scipy Hungarian
         cfg["device_grouping"] = self.config.get("device_grouping", False)
-        flip_index = np.array(self.config["flip_pairs"])[:, ::-1].flatten()
-        cfg["flip_index"] = np.insert(flip_index, 0, 0)
+        # multi-scale TTA (beyond ref; the HigherHRNet paper's eval recipe):
+        # forward at each factor, average heatmaps at the scale-1 resolution,
+        # group with the scale-1 tag sets only
+        scales = tuple(
+            dict.fromkeys(float(s) for s in self.config.get("multiscale_tta", (1.0,)))
+        )
+        if 1.0 not in scales:
+            raise ValueError("multiscale_tta must include scale 1.0")
+        cfg["multiscale_tta"] = scales
+        cfg["flip_pairs"] = np.array(self.config["flip_pairs"])
         return cfg
 
     def _build_forward(self):
-        flip_index = jnp.asarray(self._inference_cfg["flip_index"])
+        flip_pairs = self._inference_cfg["flip_pairs"]
         hflip = self._inference_cfg["hflip_tta"]
+        scales = self._inference_cfg["multiscale_tta"]
         net = self.net
         decoder = self.decoder
 
+        def run_scales(variables, image, mask):
+            """Average heatmaps over TTA runs at the scale-1 resolution;
+            tag sets come from the scale-1 run only (HigherHRNet recipe)."""
+            from ...models.common import resize_bilinear
+
+            n, height, width, _ = image.shape
+
+            def one_scale(img_s):
+                raw = net.net.apply(variables, img_s, train=False)
+                heatmaps, tags = decoder.decouple_output(raw)
+                if hflip:
+                    raw_f = net.net.apply(
+                        variables, img_s[:, :, ::-1, :], train=False
+                    )
+                    f_heatmaps, f_tags = decoder.decouple_output(raw_f)
+                    # flip back width + joint channels (NHWC: channels
+                    # last); permutation built at trace time from the real
+                    # joint count (non-COCO layouts work)
+                    flip_index = jnp.asarray(
+                        flip_index_from_pairs(
+                            flip_pairs, f_heatmaps[0].shape[-1]
+                        )
+                    )
+                    f_heatmaps = [
+                        h[:, :, ::-1, :][..., flip_index] for h in f_heatmaps
+                    ]
+                    f_tags = [t[:, :, ::-1, :][..., flip_index] for t in f_tags]
+                    heatmaps = [
+                        (h + f) * 0.5 for h, f in zip(heatmaps, f_heatmaps)
+                    ]
+                    tags = list(tags) + list(f_tags)  # both tag sets (L=2)
+                # aggregate the levels at this run's largest resolution
+                base = heatmaps[-1]
+                hb, wb = base.shape[1:3]
+                acc = base
+                for hm in heatmaps[:-1]:
+                    acc = acc + resize_bilinear(hm, hb, wb)
+                return acc / len(heatmaps), list(tags)
+
+            heatmap_1, tags_1 = one_scale(image)
+            h1, w1 = heatmap_1.shape[1:3]
+            acc = heatmap_1
+            for s in scales:
+                if s == 1.0:
+                    continue
+                # keep the model's expected 64-px alignment when rescaling
+                hs = max(64, int(round(height * s / 64)) * 64)
+                ws = max(64, int(round(width * s / 64)) * 64)
+                img_s = jax.image.resize(
+                    image, (n, hs, ws, image.shape[3]), "linear"
+                )
+                heatmap_s, _ = one_scale(img_s)
+                acc = acc + resize_bilinear(heatmap_s, h1, w1)
+            heatmap = acc / len(scales)
+            # a single pre-aggregated level: decode applies mask/NMS/top-K
+            return decoder.decode([heatmap], tags_1, mask)
+
         def forward(variables, image, mask):
-            if not hflip:
+            if not hflip and len(scales) == 1:
                 out = net.apply(variables, image, mask)
                 return out[0] if net.output_raw else out
-
-            raw = net.net.apply(variables, image, train=False)
-            flipped_raw = net.net.apply(variables, image[:, :, ::-1, :], train=False)
-
-            heatmaps, tags = decoder.decouple_output(raw)
-            f_heatmaps, f_tags = decoder.decouple_output(flipped_raw)
-            # flip back width + joint channels (NHWC: channels last)
-            f_heatmaps = [h[:, :, ::-1, :][..., flip_index] for h in f_heatmaps]
-            f_tags = [t[:, :, ::-1, :][..., flip_index] for t in f_tags]
-
-            final_heatmaps = [
-                (h + f) * 0.5 for h, f in zip(heatmaps, f_heatmaps)
-            ]
-            final_tags = list(tags) + list(f_tags)  # keep both tag sets (L=2)
-            return decoder.decode(final_heatmaps, final_tags, mask)
+            return run_scales(variables, image, mask)
 
         return jax.jit(forward)
 

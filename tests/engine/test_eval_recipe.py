@@ -234,3 +234,52 @@ def test_crowded_device_grouping_matches_host():
         return np.stack([groups[i] for i in order])
 
     np.testing.assert_allclose(canon(host), canon(dev), atol=1e-5)
+
+def test_bottomup_multiscale_tta(tmp_path):
+    """Multi-scale TTA: per-scale forwards, heatmap averaging at scale-1
+    resolution, grouping with scale-1 tags — runs end-to-end and the
+    coordinate frame is unchanged vs single-scale."""
+    img_root, ann = make_crowded_coco(str(tmp_path), num_images=2,
+                                      people_per_img=3)
+    net = mp.create_network(
+        "tiny_test_backbone", "higher_hrnet_head",
+        head_args={"with_ae_loss": (True, False), "num_deconv_filters": (32,)},
+    )
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                         train=False)
+    decoder = mp.create_decoder(
+        "bottomup_heatmap_ae", num_joints=17, num_stages=2,
+        with_ae_loss=(True, False), use_nms=True, nms_kernel=3, max_num=30)
+    eval_net = mp.create_eval_network(net, decoder, output_raw=True)
+
+    def run(eval_overrides):
+        vds = create_dataset(img_root, ann, dataset_format="coco_bottomup",
+                             is_train=False, config=BOTTOMUP_SETTING)
+        vloader = create_pipeline(vds, ["bottomup_rescale", "bottomup_pad"],
+                                  method="bottomup", batch_size=1,
+                                  is_train=False, config=BOTTOMUP_SETTING)
+        cfg = {**BOTTOMUP_EVAL_SETTING, **eval_overrides}
+        inferencer = create_inferencer(eval_net, name="bottomup_heatmap_ae",
+                                       config=cfg,
+                                       dataset_config=BOTTOMUP_SETTING)
+        return inferencer(vloader, variables=variables)
+
+    single = run({"hflip_tta": True})
+    multi = run({"hflip_tta": True, "multiscale_tta": [1.0, 2.0]})
+    assert len(multi) == len(single) == 2
+    for s_rec, m_rec in zip(single, multi):
+        # same image, same coordinate frame: predictions stay in-bounds
+        for rec in (s_rec, m_rec):
+            pred = np.concatenate(rec["pred"]) if len(rec["pred"]) else None
+            if pred is not None and pred.size:
+                assert pred[:, 0].max() < 700 and pred[:, 1].max() < 700
+
+    # evaluator accepts multi-scale outputs unchanged
+    evaluator = create_evaluator(ann, name="bottomup", metric=["AP"],
+                                 config=BOTTOMUP_EVAL_SETTING,
+                                 dataset_config=BOTTOMUP_SETTING)
+    assert "AP" in evaluator(multi)
+
+    # config validation: scale 1.0 is mandatory
+    with pytest.raises(ValueError, match="must include scale 1.0"):
+        run({"multiscale_tta": [0.5, 2.0]})
