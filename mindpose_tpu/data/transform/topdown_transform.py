@@ -32,6 +32,7 @@ __all__ = [
     "TopDownHorizontalRandomFlip",
     "TopDownHalfBodyTransform",
     "TopDownRandomScaleRotation",
+    "TopDownPhotometricDistortion",
 ]
 
 cv2.setNumThreads(2)
@@ -444,3 +445,73 @@ class TopDownGenerateSimCCTarget(TopDownTransform):
         target[:, bx:] = labels(mu[:, 1], by)
         target *= target_weight[:, None]
         return dict(target=target, target_weight=target_weight)
+
+@register("transform", extra_name="topdown_photometric_distortion")
+class TopDownPhotometricDistortion(TopDownTransform):
+    """Random brightness / contrast / saturation / hue jitter (uint8 HWC).
+
+    Beyond the reference (its augmentation is geometric only): the standard
+    SSD-style photometric pipeline, each op applied with probability 0.5,
+    contrast randomly ordered before or after saturation/hue. Pixels stay
+    uint8; keypoints/geometry untouched, so it composes anywhere before
+    ``topdown_affine`` (host path) and with the device pipeline (the warp
+    consumes whatever pixels the host hands it).
+    """
+
+    def __init__(
+        self,
+        is_train: bool = True,
+        config: Optional[Dict[str, Any]] = None,
+        brightness_delta: float = 32.0,
+        contrast_range: Tuple[float, float] = (0.5, 1.5),
+        saturation_range: Tuple[float, float] = (0.5, 1.5),
+        hue_delta: float = 18.0,
+    ) -> None:
+        super().__init__(is_train=is_train, config=config)
+        self.brightness_delta = float(brightness_delta)
+        self.contrast_range = tuple(contrast_range)
+        self.saturation_range = tuple(saturation_range)
+        self.hue_delta = float(hue_delta)
+
+    @staticmethod
+    def _clip_u8(image: np.ndarray) -> np.ndarray:
+        return np.clip(image, 0, 255).astype(np.uint8)
+
+    def _contrast(self, image: np.ndarray) -> np.ndarray:
+        if np.random.rand() < 0.5:
+            alpha = np.random.uniform(*self.contrast_range)
+            image = self._clip_u8(image.astype(np.float32) * alpha)
+        return image
+
+    def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        image = state["image"]
+
+        if np.random.rand() < 0.5:
+            delta = np.random.uniform(-self.brightness_delta,
+                                      self.brightness_delta)
+            image = self._clip_u8(image.astype(np.float32) + delta)
+
+        contrast_first = np.random.rand() < 0.5
+        if contrast_first:
+            image = self._contrast(image)
+
+        do_sat = np.random.rand() < 0.5
+        do_hue = np.random.rand() < 0.5
+        if do_sat or do_hue:
+            hsv = cv2.cvtColor(image, cv2.COLOR_RGB2HSV).astype(np.float32)
+            if do_sat:
+                hsv[..., 1] *= np.random.uniform(*self.saturation_range)
+            if do_hue:
+                # OpenCV uint8 hue wraps at 180
+                hsv[..., 0] = (
+                    hsv[..., 0] + np.random.uniform(-self.hue_delta,
+                                                    self.hue_delta)
+                ) % 180.0
+            hsv[..., 1:] = np.clip(hsv[..., 1:], 0, 255)
+            image = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+        if not contrast_first:
+            image = self._contrast(image)
+
+        return dict(image=image)
+
