@@ -9,4 +9,5 @@ from .model_factory import (
     create_network,
     create_network_with_loss,
 )
+from .distill import build_teacher, build_teacher_preprocess
 from .networks import EvalNet, Net, NetWithLoss

@@ -1,4 +1,5 @@
 from .ae import AELoss
+from .distill import JointsMSEDistillLoss
 from .loss import Loss
 from .mse import JointsMSELoss, JointsMSELossWithMask
 from .multi_loss import AEMultiLoss

@@ -304,6 +304,28 @@ def train(args) -> None:
     if getattr(args, "ckpt", None):
         state = restore_train_state(args.ckpt, state)
 
+    # ---- knowledge distillation (beyond ref; models/distill.py) ----
+    distill_setting = getattr(args, "distill_setting", None)
+    if distill_setting:
+        from mindpose_tpu.models.distill import (
+            build_teacher,
+            build_teacher_preprocess,
+        )
+
+        teacher_net, teacher_vars = build_teacher(
+            distill_setting, num_joints=args.num_joints,
+            in_channels=getattr(args, "in_channels", 3),
+        )
+        preprocess = build_teacher_preprocess(
+            teacher_net, teacher_vars, base_preprocess=preprocess
+        )
+        logging.info(
+            "distillation: teacher %s/%s from %s",
+            distill_setting["teacher_backbone"],
+            distill_setting["teacher_head"],
+            distill_setting["teacher_ckpt"],
+        )
+
     # grad_accum_steps > 1: sequential microbatches per optimizer step
     # (exact for LayerNorm models; BN batch stats become per-microbatch —
     # parallel/train.py:accum_loss_and_grads)
