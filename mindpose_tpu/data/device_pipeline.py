@@ -21,7 +21,11 @@ from typing import Any, Callable, Dict, List, Tuple
 import jax.numpy as jnp
 
 from ..ops.image import affine_warp, normalize_image
-from ..ops.target import generate_simcc_targets, generate_topdown_targets
+from ..ops.target import (
+    generate_regression_targets,
+    generate_simcc_targets,
+    generate_topdown_targets,
+)
 
 __all__ = [
     "DEVICE_FINAL_COLUMNS",
@@ -43,9 +47,9 @@ def strip_host_target_transform(
 ) -> Tuple[List[Any], Dict[str, Any]]:
     """Remove the host target-encode transform from the list.
 
-    Returns its kwargs; for the SimCC variant a ``target_type: "simcc"``
-    marker is added so build_topdown_preprocess renders bin labels instead
-    of heatmaps.
+    Returns its kwargs; for the SimCC / regression variants a
+    ``target_type`` marker is added so build_topdown_preprocess renders bin
+    labels / normalized coordinates instead of heatmaps.
     """
     kept = []
     target_kwargs: Dict[str, Any] = {}
@@ -59,6 +63,11 @@ def strip_host_target_transform(
             if isinstance(t, dict):
                 target_kwargs = dict(list(t.values())[0] or {})
             target_kwargs["target_type"] = "simcc"
+            continue
+        if name == "topdown_generate_regression_target":
+            if isinstance(t, dict):
+                target_kwargs = dict(list(t.values())[0] or {})
+            target_kwargs["target_type"] = "regression"
             continue
         kept.append(t)
     return kept, target_kwargs
@@ -91,6 +100,10 @@ def build_topdown_preprocess(
             target, weight = generate_simcc_targets(
                 keypoints, input_size=im, split_ratio=split_ratio,
                 sigma=sigma,
+            )
+        elif target_type == "regression":
+            target, weight = generate_regression_targets(
+                keypoints, input_size=im,
             )
         else:
             target, weight = generate_topdown_targets(
@@ -129,11 +142,14 @@ def build_topdown_full_preprocess(
     normalize_std,
     sigma: float = 2.0,
     use_udp: bool = False,
+    target_type: str = "heatmap",
+    split_ratio: float = 2.0,
 ) -> Callable:
     """Preprocess closure for build_train_step in ``device_pipeline: full``
     mode: (padded uint8 frames, warp matrices, post-affine keypoints) ->
     (warped normalized crops, target, target_weight). The warp, normalize
-    and Gaussian rasterization fuse into the jitted step."""
+    and target encode (heatmap / simcc / regression, same dispatch as
+    build_topdown_preprocess) all fuse into the jitted step."""
     mean = jnp.asarray(normalize_mean, jnp.float32)
     std = jnp.asarray(normalize_std, jnp.float32)
     hm = (int(heatmap_size[0]), int(heatmap_size[1]))
@@ -143,10 +159,20 @@ def build_topdown_full_preprocess(
     def preprocess(frames, warp_mats, keypoints):
         crops = affine_warp(frames, warp_mats, out_hw)
         crops = normalize_image(crops, mean, std)
-        target, weight = generate_topdown_targets(
-            keypoints, heatmap_size=hm, image_size=im, sigma=sigma,
-            use_udp=use_udp,
-        )
+        if target_type == "simcc":
+            target, weight = generate_simcc_targets(
+                keypoints, input_size=im, split_ratio=split_ratio,
+                sigma=sigma,
+            )
+        elif target_type == "regression":
+            target, weight = generate_regression_targets(
+                keypoints, input_size=im,
+            )
+        else:
+            target, weight = generate_topdown_targets(
+                keypoints, heatmap_size=hm, image_size=im, sigma=sigma,
+                use_udp=use_udp,
+            )
         return crops, target, weight
 
     return preprocess

@@ -446,6 +446,42 @@ class TopDownGenerateSimCCTarget(TopDownTransform):
         target *= target_weight[:, None]
         return dict(target=target, target_weight=target_weight)
 
+@register("transform", extra_name="topdown_generate_regression_target")
+class TopDownGenerateRegressionTarget(TopDownTransform):
+    """Normalized-coordinate targets for direct regression heads.
+
+    Beyond the reference: pairs with models/heads/rle_head.py
+    (arXiv:2107.11291). For each joint at input-image coords (x, y), the
+    target is ``(x / W, y / H)`` — the shared convention of the rle loss
+    and the regression decoder. Emits ``target`` [K, 2] and
+    ``target_weight`` [K]; joints outside the crop (or invisible) get
+    weight 0, mirroring the heatmap encoder's out-of-window rule.
+    """
+
+    def __init__(
+        self,
+        is_train: bool = True,
+        config: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        super().__init__(is_train=is_train, config=config)
+
+    def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        image_size = self._transform_cfg["image_size"]
+        w, h = float(image_size[0]), float(image_size[1])
+        keypoints = state["keypoints"]
+
+        xy = keypoints[:, :2].astype(np.float32)
+        vis = keypoints[:, 2] > 0
+        inside = (
+            (xy[:, 0] >= 0) & (xy[:, 0] < w)
+            & (xy[:, 1] >= 0) & (xy[:, 1] < h)
+        )
+        target_weight = (vis & inside).astype(np.float32)
+        target = xy / np.array([w, h], dtype=np.float32)
+        target *= target_weight[:, None]
+        return dict(target=target, target_weight=target_weight)
+
+
 @register("transform", extra_name="topdown_photometric_distortion")
 class TopDownPhotometricDistortion(TopDownTransform):
     """Random brightness / contrast / saturation / hue jitter (uint8 HWC).

@@ -17,6 +17,7 @@ __all__ = [
     "generate_topdown_targets",
     "generate_bottomup_targets",
     "generate_simcc_targets",
+    "generate_regression_targets",
 ]
 
 
@@ -219,4 +220,35 @@ def generate_simcc_targets(
     target = jnp.concatenate(
         [labels(mu[..., 0], bx), labels(mu[..., 1], by)], axis=-1
     )
+    return target * weight[..., None], weight
+
+
+@partial(jax.jit, static_argnames=("input_size",))
+def generate_regression_targets(
+    keypoints: jnp.ndarray,
+    input_size: Tuple[int, int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalized-coordinate regression targets, on device.
+
+    Bit-parity counterpart of the host TopDownGenerateRegressionTarget
+    (data/transform/topdown_transform.py): targets are keypoint coords
+    divided by the input size, zeroed (with weight 0) when outside the
+    crop or invisible.
+
+    Args:
+        keypoints: [N, K, 3] (x, y in input-image pixels, visibility).
+        input_size: (W, H).
+
+    Returns:
+        target [N, K, 2] float32, target_weight [N, K] float32.
+    """
+    w, h = float(input_size[0]), float(input_size[1])
+    xy = keypoints[..., :2].astype(jnp.float32)
+    vis = keypoints[..., 2] > 0
+    inside = (
+        (xy[..., 0] >= 0) & (xy[..., 0] < w)
+        & (xy[..., 1] >= 0) & (xy[..., 1] < h)
+    )
+    weight = (vis & inside).astype(jnp.float32)
+    target = xy / jnp.asarray([w, h], jnp.float32)
     return target * weight[..., None], weight

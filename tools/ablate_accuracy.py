@@ -102,6 +102,14 @@ ARMS = {
         head="simcc_head",
         head_args={"input_size": [192, 256], "split_ratio": 2.0},
     ),
+    "rle": dict(
+        transforms=_AUG + ["topdown_affine",
+                           "topdown_generate_regression_target"],
+        evals=[("rle", "regression", {"input_size": [192, 256]})],
+        loss=("rle", {"use_target_weight": True}),
+        head="rle_head",
+        head_args={},
+    ),
 }
 
 
@@ -208,7 +216,8 @@ def eval_checkpoint(net, state, data: dict, decoder_kwargs: dict,
                               config=DATASET_SETTING, normalize=True)
     decoder = mp.create_decoder(decoder_name, **decoder_kwargs)
     eval_net = mp.create_eval_network(
-        net, decoder, output_raw=(decoder_name != "simcc"))
+        net, decoder,
+        output_raw=(decoder_name not in ("simcc", "regression")))
     # --tta = the reference's published eval recipe: hflip TTA + 1-px shift
     # (ref configs/hrnet/README.md:90); UDP decoders skip the shift
     # (ref configs/udp/README.md:94)
@@ -217,10 +226,13 @@ def eval_checkpoint(net, state, data: dict, decoder_kwargs: dict,
     if decoder_name == "simcc":
         inferencer_name = "simcc"
         eval_setting["has_heatmap_output"] = False
+    elif decoder_name == "regression":
+        inferencer_name = "regression"
+        eval_setting["has_heatmap_output"] = False
     if tta:
         eval_setting["hflip_tta"] = True
         eval_setting["shift_heatmap"] = (
-            decoder_name != "simcc"
+            decoder_name not in ("simcc", "regression")
             and not decoder_kwargs.get("use_udp", False))
     inferencer = create_inferencer(eval_net, name=inferencer_name,
                                    config=eval_setting,
