@@ -49,6 +49,7 @@ class TopDownPredictor:
         normalize_std=(0.229, 0.224, 0.225),
         batch_size: int = 32,
         decoder_name: str = "topdown_heatmap",
+        quantize: str = "",
     ) -> None:
         self.net = net
         self.variables = variables
@@ -64,7 +65,22 @@ class TopDownPredictor:
 
         decoder = create_decoder(decoder_name, **(decoder_setting or {}))
         eval_net = create_eval_network(net, decoder, output_raw=False)
-        self._forward = jax.jit(eval_net.apply)
+        if quantize == "int8":
+            # int8 kernels + per-channel scales; the dequantize traces
+            # inside the jit so weights live in HBM as int8
+            # (models/quantize.py)
+            from ..models.quantize import (
+                quantize_variables,
+                quantized_eval_apply,
+            )
+
+            qfwd = quantized_eval_apply(
+                eval_net, quantize_variables(variables))
+            self._forward = lambda _variables, *inputs: qfwd(*inputs)
+        elif quantize:
+            raise ValueError(f"unknown quantize mode: {quantize!r}")
+        else:
+            self._forward = jax.jit(eval_net.apply)
 
     @classmethod
     def from_config(cls, args, variables, **kwargs) -> "TopDownPredictor":

@@ -133,6 +133,19 @@ def test_topdown_train_to_ap(tiny_coco):
     # overfitted on 4 images: loose AP at OKS .5 must be well above chance
     assert result["AP .5"] > 0.2, result
 
+    # int8 weight-only quantization preserves the trained AP (the dequant
+    # here is numerically identical to the in-jit dequant the serving path
+    # uses — int8 -> f32 * scale either way; models/quantize.py)
+    from mindpose_tpu.models.quantize import (
+        dequantize_variables,
+        quantize_variables,
+    )
+
+    qvars = dequantize_variables(quantize_variables(
+        {"params": state.params, "batch_stats": state.batch_stats}))
+    result_q = evaluator(inferencer(vloader, variables=qvars))
+    assert result_q["AP .5"] >= result["AP .5"] - 1e-6, (result_q, result)
+
 
 BOTTOMUP_SETTING = {
     "image_size": [64, 64],

@@ -65,7 +65,7 @@ PRESETS = {
 }
 
 
-def build_predictor(preset: dict, batch_size: int):
+def build_predictor(preset: dict, batch_size: int, quantize: str = ""):
     import jax.numpy as jnp
 
     from mindpose_tpu.engine.predictor import TopDownPredictor
@@ -87,14 +87,16 @@ def build_predictor(preset: dict, batch_size: int):
         decoder_setting=preset.get("decoder_args"),
         decoder_name=preset["decoder"],
         batch_size=batch_size,
+        quantize=quantize,
     )
 
 
 def bench_model(name: str, batch_sizes, iters: int, image: np.ndarray,
-                rng: np.random.RandomState) -> dict:
+                rng: np.random.RandomState, quantize: str = "") -> dict:
     out = {}
     for bs in batch_sizes:
-        predictor = build_predictor(PRESETS[name], batch_size=bs)
+        predictor = build_predictor(PRESETS[name], batch_size=bs,
+                                    quantize=quantize)
         h, w = image.shape[:2]
         boxes = np.stack([
             np.array([rng.uniform(0, w / 2), rng.uniform(0, h / 2),
@@ -125,6 +127,8 @@ def main() -> None:
     p.add_argument("--batch-sizes", default="1,8,32")
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--image-hw", default="480,640")
+    p.add_argument("--quantize", default="",
+                   help="weight quantization mode ('' or 'int8')")
     p.add_argument("--out", default="", help="write the JSON report here")
     args = p.parse_args()
 
@@ -138,6 +142,7 @@ def main() -> None:
         "backend": jax.default_backend(),
         "image_hw": [h, w],
         "iters": args.iters,
+        "quantize": args.quantize,
         "note": "per-request wall clock incl. host crop geometry + device "
                 "forward/decode + fetch; axon tunnel adds ~30 ms RTT per "
                 "request in this environment",
@@ -146,7 +151,8 @@ def main() -> None:
     for name in args.models.split(","):
         name = name.strip()
         report["models"][name] = bench_model(
-            name, batch_sizes, args.iters, image, rng)
+            name, batch_sizes, args.iters, image, rng,
+            quantize=args.quantize)
         print(name, json.dumps(report["models"][name]))
 
     if args.out:
