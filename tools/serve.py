@@ -78,6 +78,7 @@ def build_service(args, batch_size: int = 32) -> PoseService:
             batch_size=batch_size,
             decoder_name=getattr(args, "decoder_name", "topdown_heatmap")
             or "topdown_heatmap",
+            quantize=getattr(args, "quantize", "") or "",
         )
     return PoseService(predictor, mode=mode, num_joints=args.num_joints)
 
@@ -90,6 +91,8 @@ def main() -> None:
             {"names": ["--host"], "type": str, "default": "127.0.0.1"},
             {"names": ["--port"], "type": int, "default": 8080},
             {"names": ["--batch-size"], "type": int, "default": 32},
+            {"names": ["--quantize"], "type": str, "default": "",
+             "help": "weight quantization: '' or 'int8' (top-down only)"},
         ],
     )
     service = build_service(args, batch_size=args.batch_size)
