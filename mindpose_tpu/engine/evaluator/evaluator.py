@@ -91,4 +91,44 @@ class Evaluator:
             "AP", "AP .5", "AP .75", "AP (M)", "AP (L)",
             "AR", "AR .5", "AR .75", "AR (M)", "AR (L)",
         ]
-        return list(zip(stats_names, coco_eval.stats))
+        stats = list(zip(stats_names, coco_eval.stats))
+        if self._evaluation_cfg.get("crowd_index_stats"):
+            stats += self._crowd_index_band_stats(coco_det, sigmas)
+        return stats
+
+    # CrowdPose band edges (CrowdPose paper §5): easy [0, 0.1),
+    # medium [0.1, 0.8), hard [0.8, 1]
+    _CROWD_BANDS = (("easy", 0.0, 0.1), ("medium", 0.1, 0.8),
+                    ("hard", 0.8, 1.0001))
+
+    def _crowd_index_band_stats(
+        self, coco_det, sigmas
+    ) -> List[Tuple[str, float]]:
+        """CrowdPose-protocol AP per crowding band.
+
+        The CrowdPose benchmark replaces area-based AP(M)/AP(L) with AP over
+        image subsets bucketed by the annotation file's per-image
+        ``crowdIndex`` (the official crowdpose-api's AP(E)/AP(M)/AP(H)).
+        Images without the attribute count as crowdIndex 0. Empty bands
+        report -1, matching COCOeval's empty-slot convention.
+        """
+        out: List[Tuple[str, float]] = []
+        for name, lo, hi in self._CROWD_BANDS:
+            ids = [
+                img_id for img_id, img in self.coco.imgs.items()
+                if lo <= float(
+                    img.get("crowdIndex", img.get("crowd_index", 0.0))
+                ) < hi
+            ]
+            if not ids:
+                out.append((f"AP ({name})", -1.0))
+                continue
+            band_eval = COCOeval(self.coco, coco_det, "keypoints")
+            if sigmas is not None:
+                band_eval.params.kpt_oks_sigmas = np.asarray(sigmas)
+            band_eval.params.imgIds = sorted(ids)
+            band_eval.evaluate()
+            band_eval.accumulate()
+            band_eval.summarize()
+            out.append((f"AP ({name})", band_eval.stats[0]))
+        return out

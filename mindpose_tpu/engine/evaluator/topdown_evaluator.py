@@ -43,6 +43,10 @@ class TopDownEvaluator(Evaluator):
             "use_nms": self.config["use_nms"],
             "soft_nms": self.config["soft_nms"],
             "sigmas": np.array(self.config["sigmas"]),
+            # CrowdPose protocol: extra AP over images bucketed by their
+            # crowdIndex attribute (easy/medium/hard)
+            "crowd_index_stats": bool(
+                self.config.get("crowd_index_stats", False)),
         }
 
     def eval(self, inference_result: List[Dict[str, Any]]) -> Dict[str, Any]:

@@ -79,8 +79,9 @@ def test_all_configs_parse():
     assert len(configs) >= 11
     for path in configs:
         args = parse_args(["--config", path])
-        # COCO recipes: 17 joints; MPII: 16
-        assert args.num_joints == (16 if "mpii" in path else 17)
+        # COCO recipes: 17 joints; MPII: 16; CrowdPose: 14
+        expected = 16 if "mpii" in path else 14 if "crowdpose" in path else 17
+        assert args.num_joints == expected
         assert args.pipeline_method in ("topdown", "bottomup")
         # every transform name must be registered
         for t in list(args.train_transforms) + list(args.val_transforms):

@@ -122,6 +122,7 @@ def evaluate(args):
         metric=args.eval_metric,
         config=args.eval_setting,
         dataset_config=args.dataset_setting,
+        num_joints=args.num_joints,
     )
 
     outputs = inferencer(loader_val, variables=variables)

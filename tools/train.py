@@ -410,6 +410,7 @@ def train(args) -> None:
             metric=args.eval_metric,
             config=args.eval_setting,
             dataset_config=args.dataset_setting,
+            num_joints=args.num_joints,
         )
 
     # ---- callbacks (ref train.py:212-229) ----
