@@ -29,11 +29,24 @@ from mindpose_tpu.engine import BottomUpPredictor, TopDownPredictor
 from mindpose_tpu.models import create_network
 from common.log import setup_default_logging
 
-_SKELETON = [
+# default skeleton is the 17-joint COCO layout; other layouts (MPII 16,
+# CrowdPose 14) supply dataset_setting.skeleton in their recipe, else only
+# joint dots are drawn
+_COCO_SKELETON = [
     (15, 13), (13, 11), (16, 14), (14, 12), (11, 12), (5, 11), (6, 12),
     (5, 6), (5, 7), (6, 8), (7, 9), (8, 10), (1, 2), (0, 1), (0, 2),
     (1, 3), (2, 4), (3, 5), (4, 6),
 ]
+
+
+def _resolve_skeleton(args):
+    edges = (args.dataset_setting or {}).get("skeleton")
+    if edges is None and args.num_joints == 17:
+        edges = _COCO_SKELETON
+    return [
+        (int(a), int(b)) for a, b in (edges or [])
+        if max(int(a), int(b)) < args.num_joints
+    ]
 
 
 def main() -> None:
@@ -47,6 +60,7 @@ def main() -> None:
             {"names": ["--vis-thr"], "type": float, "default": 0.2},
         ],
     )
+    skeleton = _resolve_skeleton(args)
     os.makedirs(args.output_dir, exist_ok=True)
 
     net = create_network(
@@ -108,7 +122,7 @@ def main() -> None:
             preds = predictor(img, boxes)
 
         for person in preds:
-            for a, b in _SKELETON:
+            for a, b in skeleton:
                 if person[a, 2] > args.vis_thr and person[b, 2] > args.vis_thr:
                     cv2.line(
                         bgr,

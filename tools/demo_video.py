@@ -32,16 +32,29 @@ from mindpose_tpu.engine import BottomUpPredictor, TopDownPredictor
 from mindpose_tpu.models import create_network
 from mindpose_tpu.utils.smoothing import OneEuroFilter
 
-_SKELETON = [
+# default skeleton is the 17-joint COCO layout; other layouts (MPII 16,
+# CrowdPose 14) supply dataset_setting.skeleton in their recipe, else only
+# joint dots are drawn
+_COCO_SKELETON = [
     (15, 13), (13, 11), (16, 14), (14, 12), (11, 12), (5, 11), (6, 12),
     (5, 6), (5, 7), (6, 8), (7, 9), (8, 10), (1, 2), (0, 1), (0, 2),
     (1, 3), (2, 4), (3, 5), (4, 6),
 ]
 
 
-def _draw(frame, people, vis_thr):
+def _resolve_skeleton(args):
+    edges = (args.dataset_setting or {}).get("skeleton")
+    if edges is None and args.num_joints == 17:
+        edges = _COCO_SKELETON
+    return [
+        (int(a), int(b)) for a, b in (edges or [])
+        if max(int(a), int(b)) < args.num_joints
+    ]
+
+
+def _draw(frame, people, vis_thr, skeleton):
     for person in people:
-        for a, b in _SKELETON:
+        for a, b in skeleton:
             if (
                 max(a, b) < len(person)
                 and person[a, 2] > vis_thr
@@ -70,6 +83,7 @@ def main() -> None:
             {"names": ["--max-frames"], "type": int, "default": 0},
         ],
     )
+    skeleton = _resolve_skeleton(args)
 
     net = create_network(
         backbone_name=args.backbone_name, head_name=args.head_name,
@@ -154,7 +168,7 @@ def main() -> None:
             # resets the filter via the shape check inside
             people = people.copy()
             people[..., :2] = smoother(people[..., :2])
-        _draw(frame, people, args.vis_thr)
+        _draw(frame, people, args.vis_thr, skeleton)
         writer.write(frame)
         frames += 1
         if args.max_frames and frames >= args.max_frames:
