@@ -303,10 +303,31 @@ def main() -> None:
                      args.val_images, args.people)
     data = make_data(root, args.train_images, args.val_images, args.people)
 
+    # Crash-safe incremental persistence: each finished (arm, seed) eval is
+    # appended to <out>.runs.jsonl immediately, and on restart any pair that
+    # already has all its eval records is skipped — a multi-hour campaign
+    # survives the driver killing the process between arms.
     runs = []
+    runs_path = (args.out + ".runs.jsonl") if args.out else ""
+    done_pairs = set()
+    if runs_path and os.path.exists(runs_path):
+        with open(runs_path) as f:
+            prior = [json.loads(ln) for ln in f if ln.strip()]
+        by_pair = {}
+        for rec in prior:
+            by_pair.setdefault((rec["arm"], rec["seed"]), []).append(rec)
+        for (arm, seed), recs in by_pair.items():
+            if arm in ARMS and len(recs) >= len(ARMS[arm]["evals"]):
+                done_pairs.add((arm, seed))
+                runs.extend(recs)
+        if done_pairs:
+            logging.info("resuming: %d completed (arm, seed) pairs found in "
+                         "%s", len(done_pairs), runs_path)
     for seed in [int(s) for s in args.seeds.split(",")]:
         for arm in args.arms.split(","):
             arm = arm.strip()
+            if (arm, seed) in done_pairs:
+                continue
             head_args = (json.loads(args.head_args) if args.head_args
                          else None)
             net, state = train_arm(arm, seed, data, args.epochs,
@@ -322,6 +343,9 @@ def main() -> None:
                        "AR": float(result.get("AR", -1))}
                 runs.append(rec)
                 print(json.dumps(rec), flush=True)
+                if runs_path:
+                    with open(runs_path, "a") as f:
+                        f.write(json.dumps(rec) + "\n")
 
     report = {
         "protocol": {
