@@ -41,8 +41,39 @@ def _joint_color(k: int):
     )
 
 
+# "grid" is the historical layout (joint k at column k%4, row k//4): its
+# colors are flip-pair symmetric but its POSITIONS are not, so horizontal
+# flip augmentation / TTA would create contradictory labels — existing
+# studies trained on it keep flip off at eval and accept the label noise at
+# train (docs/performance.md finding (b)). "person" places every left/right
+# pair at mirrored box-relative positions (gx_right = 1 - gx_left, same gy),
+# making flip aug AND hflip TTA label-consistent — use it for any benchmark
+# that exercises the reference's published flip recipe.
+_PERSON_GRID_LEFT = {
+    0: (0.50, 0.06),   # nose (self-paired)
+    1: (0.42, 0.04),   # eyes
+    3: (0.33, 0.07),   # ears
+    5: (0.30, 0.22),   # shoulders
+    7: (0.21, 0.38),   # elbows
+    9: (0.17, 0.54),   # wrists
+    11: (0.37, 0.56),  # hips
+    13: (0.36, 0.75),  # knees
+    15: (0.35, 0.93),  # ankles
+}
+
+
+def _joint_grid(k: int, layout: str):
+    if layout == "grid":
+        return 0.15 + 0.23 * (k % 4), 0.08 + 0.21 * (k // 4)
+    if k == 0:
+        return _PERSON_GRID_LEFT[0]
+    left = (k - 1) // 2 * 2 + 1
+    gx, gy = _PERSON_GRID_LEFT[left]
+    return (gx, gy) if k == left else (1.0 - gx, gy)
+
+
 def generate_split(root: str, num_images: int, seed: int,
-                   people_per_img: int = 2) -> None:
+                   people_per_img: int = 2, layout: str = "grid") -> None:
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.join(root, "images"), exist_ok=True)
     images, annotations = [], []
@@ -64,8 +95,9 @@ def generate_split(root: str, num_images: int, seed: int,
             cv2.rectangle(img, (x0, y0), (x0 + bw, y0 + bh), (170, 140, 110), -1)
             kpts = []
             for k in range(17):
-                gx = 0.15 + 0.23 * (k % 4) + rng.uniform(-0.04, 0.04)
-                gy = 0.08 + 0.21 * (k // 4) + rng.uniform(-0.04, 0.04)
+                bx, by = _joint_grid(k, layout)
+                gx = bx + rng.uniform(-0.04, 0.04)
+                gy = by + rng.uniform(-0.04, 0.04)
                 kx, ky = x0 + gx * bw, y0 + gy * bh
                 cv2.circle(
                     img, (int(kx), int(ky)), max(3, int(4 * scale)),
@@ -102,11 +134,15 @@ def main() -> None:
     p.add_argument("--val-images", type=int, default=40)
     p.add_argument("--people", type=int, default=2,
                    help="persons per frame (bottom-up benchmarks want 3+)")
+    p.add_argument("--layout", default="grid", choices=["grid", "person"],
+                   help="joint layout: 'grid' (historical, flip-asymmetric "
+                        "positions) or 'person' (flip-pair mirrored — valid "
+                        "under flip augmentation and hflip TTA)")
     args = p.parse_args()
     generate_split(os.path.join(args.out, "train"), args.train_images, seed=0,
-                   people_per_img=args.people)
+                   people_per_img=args.people, layout=args.layout)
     generate_split(os.path.join(args.out, "val"), args.val_images, seed=1,
-                   people_per_img=args.people)
+                   people_per_img=args.people, layout=args.layout)
 
 
 if __name__ == "__main__":
