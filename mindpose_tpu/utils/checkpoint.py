@@ -54,16 +54,19 @@ def save_checkpoint(path: str, state: Any, async_write: bool = False) -> None:
         _write_atomic(path, state)
         return
     key = os.path.abspath(path)
+
+    # read-prev and register-new must be one critical section: otherwise two
+    # concurrent saves to the same path can both chain onto the same
+    # predecessor and race, leaving the file at the OLDER state
     with _WRITERS_LOCK:
         prev = _WRITERS.get(key)
 
-    def run():
-        if prev is not None:
-            prev.join()
-        _write_atomic(path, state)
+        def run(prev=prev):
+            if prev is not None:
+                prev.join()
+            _write_atomic(path, state)
 
-    t = threading.Thread(target=run, name=f"ckpt-write:{path}")
-    with _WRITERS_LOCK:
+        t = threading.Thread(target=run, name=f"ckpt-write:{path}")
         _WRITERS[key] = t
     t.start()
 
