@@ -24,6 +24,22 @@ import numpy as np
 __all__ = ["DataLoader", "DecodedFrameCache"]
 
 
+def _put_until_stopped(q: "queue.Queue", stop: threading.Event, item) -> bool:
+    """Queue put that gives up once ``stop`` is set.
+
+    A consumer abandoning iteration mid-epoch (early break, exception) sets
+    ``stop`` with the queue possibly full; a plain blocking put would strand
+    the producer thread forever.
+    """
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.1)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 class DecodedFrameCache:
     """Byte-budgeted LRU of decoded RGB frames, shared across loader threads.
 
@@ -337,19 +353,24 @@ class DataLoader:
                         states = process_map(
                             _process_worker_run, [int(i) for i in bidx]
                         )
-                        out_q.put(self._collate(states))
+                        if not _put_until_stopped(out_q, stop,
+                                                  self._collate(states)):
+                            return
                 else:
                     with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
                         for bidx in batch_indices:
                             if stop.is_set():
                                 return
                             states = list(ex.map(self._process_one, bidx))
-                            out_q.put(self._collate(states))
-                out_q.put(None)
+                            if not _put_until_stopped(out_q, stop,
+                                                      self._collate(states)):
+                                return
+                _put_until_stopped(out_q, stop, None)
             except BaseException as e:  # surface worker errors to the consumer
-                out_q.put(e)
+                _put_until_stopped(out_q, stop, e)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(target=producer, daemon=True,
+                             name="loader-prefetch")
         t.start()
         try:
             while True:
@@ -407,12 +428,14 @@ class DevicePrefetcher:
                         self.mesh,
                         spec=self.spec,
                     )
-                    out_q.put(arrays)
-                out_q.put(None)
+                    if not _put_until_stopped(out_q, stop, arrays):
+                        return
+                _put_until_stopped(out_q, stop, None)
             except BaseException as e:  # surface transfer/loader errors
-                out_q.put(e)
+                _put_until_stopped(out_q, stop, e)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(target=producer, daemon=True,
+                             name="device-prefetch")
         t.start()
         try:
             while True:

@@ -130,3 +130,27 @@ def test_device_prefetcher_propagates_errors():
 
     with pytest.raises(RuntimeError, match="bad transform"):
         list(DevicePrefetcher(l, ["idx"], mesh=None, depth=2))
+
+
+def test_prefetch_producers_exit_on_early_abandon():
+    """Breaking out of iteration mid-epoch must not strand producer threads
+    blocked on a full queue (loader-prefetch and device-prefetch both)."""
+    import threading
+    import time
+
+    from mindpose_tpu.data.loader import DevicePrefetcher
+
+    def named_threads():
+        return [t for t in threading.enumerate()
+                if t.name in ("loader-prefetch", "device-prefetch")]
+
+    l = _NoDecode(_FakeDataset(64), transforms=[], final_columns=["idx"],
+                  batch_size=2, is_train=False, normalize=False)
+    for it in (iter(l), iter(DevicePrefetcher(l, ["idx"], mesh=None,
+                                              depth=1))):
+        next(it)
+        it.close()  # generator close -> finally -> stop.set()
+        deadline = time.time() + 5.0
+        while named_threads() and time.time() < deadline:
+            time.sleep(0.05)
+        assert not named_threads(), "producer thread stranded after abandon"
