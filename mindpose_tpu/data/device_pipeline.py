@@ -73,6 +73,31 @@ def strip_host_target_transform(
     return kept, target_kwargs
 
 
+def _make_target_encoder(
+    image_size, heatmap_size, sigma, use_udp, target_type, split_ratio
+) -> Callable:
+    """The single target-type dispatch (heatmap / simcc / regression) shared
+    by the encode-mode and full-mode preprocess builders: keypoints ->
+    (target, target_weight), jit-traceable."""
+    hm = (int(heatmap_size[0]), int(heatmap_size[1]))
+    im = (int(image_size[0]), int(image_size[1]))
+
+    def encode(keypoints):
+        if target_type == "simcc":
+            return generate_simcc_targets(
+                keypoints, input_size=im, split_ratio=split_ratio,
+                sigma=sigma,
+            )
+        if target_type == "regression":
+            return generate_regression_targets(keypoints, input_size=im)
+        return generate_topdown_targets(
+            keypoints, heatmap_size=hm, image_size=im, sigma=sigma,
+            use_udp=use_udp,
+        )
+
+    return encode
+
+
 def build_topdown_preprocess(
     image_size,
     heatmap_size,
@@ -91,25 +116,12 @@ def build_topdown_preprocess(
     """
     mean = jnp.asarray(normalize_mean, jnp.float32)
     std = jnp.asarray(normalize_std, jnp.float32)
-    hm = (int(heatmap_size[0]), int(heatmap_size[1]))
-    im = (int(image_size[0]), int(image_size[1]))
+    encode = _make_target_encoder(image_size, heatmap_size, sigma, use_udp,
+                                  target_type, split_ratio)
 
     def preprocess(image, keypoints):
         image = normalize_image(image, mean, std)
-        if target_type == "simcc":
-            target, weight = generate_simcc_targets(
-                keypoints, input_size=im, split_ratio=split_ratio,
-                sigma=sigma,
-            )
-        elif target_type == "regression":
-            target, weight = generate_regression_targets(
-                keypoints, input_size=im,
-            )
-        else:
-            target, weight = generate_topdown_targets(
-                keypoints, heatmap_size=hm, image_size=im, sigma=sigma,
-                use_udp=use_udp,
-            )
+        target, weight = encode(keypoints)
         return image, target, weight
 
     return preprocess
@@ -152,27 +164,14 @@ def build_topdown_full_preprocess(
     build_topdown_preprocess) all fuse into the jitted step."""
     mean = jnp.asarray(normalize_mean, jnp.float32)
     std = jnp.asarray(normalize_std, jnp.float32)
-    hm = (int(heatmap_size[0]), int(heatmap_size[1]))
-    im = (int(image_size[0]), int(image_size[1]))
     out_hw = (int(image_size[1]), int(image_size[0]))  # (H, W)
+    encode = _make_target_encoder(image_size, heatmap_size, sigma, use_udp,
+                                  target_type, split_ratio)
 
     def preprocess(frames, warp_mats, keypoints):
         crops = affine_warp(frames, warp_mats, out_hw)
         crops = normalize_image(crops, mean, std)
-        if target_type == "simcc":
-            target, weight = generate_simcc_targets(
-                keypoints, input_size=im, split_ratio=split_ratio,
-                sigma=sigma,
-            )
-        elif target_type == "regression":
-            target, weight = generate_regression_targets(
-                keypoints, input_size=im,
-            )
-        else:
-            target, weight = generate_topdown_targets(
-                keypoints, heatmap_size=hm, image_size=im, sigma=sigma,
-                use_udp=use_udp,
-            )
+        target, weight = encode(keypoints)
         return crops, target, weight
 
     return preprocess

@@ -21,8 +21,7 @@ Config surface (tools/train.py):
 """
 from typing import Any, Callable, Dict, Optional
 
-from flax import serialization
-
+from ..utils.checkpoint import load_variables
 from .model_factory import create_network
 
 __all__ = ["build_teacher", "build_teacher_preprocess"]
@@ -48,12 +47,7 @@ def build_teacher(
     ckpt = distill_setting.get("teacher_ckpt")
     if not ckpt:
         raise ValueError("distill_setting.teacher_ckpt is required")
-    with open(ckpt, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
-    variables = {
-        "params": raw.get("params", raw),
-        "batch_stats": raw.get("batch_stats", {}),
-    }
+    variables = load_variables(ckpt)
     return net, variables
 
 

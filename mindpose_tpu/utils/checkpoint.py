@@ -17,10 +17,28 @@ from flax import serialization
 __all__ = [
     "save_checkpoint",
     "load_checkpoint",
+    "load_variables",
     "restore_train_state",
     "load_pretrained_backbone",
     "wait_pending_checkpoints",
 ]
+
+
+def load_variables(path: str, init_variables: Any = None) -> Dict[str, Any]:
+    """Read a checkpoint into eval-ready ``{"params", "batch_stats"}``.
+
+    Accepts either a full saved TrainState msgpack or a raw param pytree;
+    a missing ``batch_stats`` collection falls back to ``init_variables``
+    (a freshly initialized model's) when given. The one restore idiom for
+    every CLI / serving / teacher-loading site.
+    """
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    fallback = (init_variables or {}).get("batch_stats", {})
+    return {
+        "params": raw.get("params", raw),
+        "batch_stats": raw.get("batch_stats", fallback),
+    }
 
 # per-path writer threads for async saves (ordering: a new save to the same
 # path joins the previous one first, so the file always ends at the newest

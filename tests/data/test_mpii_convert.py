@@ -63,6 +63,31 @@ def test_convert_structure_and_geometry():
     assert y + h / 2 == pytest.approx(records[0]["center"][1])
 
 
+def test_estimated_image_size_covers_person_boxes():
+    """Without --img-root, the estimated canvas must contain every record's
+    scale*200 box (incl. the center shift), not just the joints — downstream
+    _sanitize_bbox clips boxes to the image, so an undersized estimate would
+    silently shift every crop's center/scale off the MPII protocol."""
+    rng = np.random.RandomState(3)
+    records = _mpii_records(rng, num_images=2, people=3)
+    # one extreme record: big scale, tightly clustered joints (the joint
+    # extent alone would badly underestimate the canvas)
+    records.append({
+        "image": records[0]["image"],
+        "center": [500.0, 400.0],
+        "scale": 3.0,
+        "joints": (np.full((MPII_NUM_JOINTS, 2), 500.0)
+                   + np.linspace(-20, 20, MPII_NUM_JOINTS)[:, None]).tolist(),
+        "joints_vis": [1.0] * MPII_NUM_JOINTS,
+    })
+    ds = convert(records, apply_center_shift=True)
+    size = {im["id"]: (im["width"], im["height"]) for im in ds["images"]}
+    for ann in ds["annotations"]:
+        x, y, w, h = ann["bbox"]
+        width, height = size[ann["image_id"]]
+        assert x + w <= width and y + h <= height, ann
+
+
 def test_pckh_evaluation_golden(tmp_path):
     """PCKh@0.5 with head-segment norm: hand-computed hit fraction."""
     head_len = 40.0

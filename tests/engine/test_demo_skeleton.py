@@ -1,12 +1,12 @@
 """Skeleton resolution for demo overlays across joint layouts.
 
 The reference hardcodes 17-joint COCO drawing; our demos resolve the edge
-list from ``dataset_setting.skeleton`` so MPII (16) and CrowdPose (14)
-layouts draw without out-of-range indices.
+list from ``dataset_setting.skeleton`` (tools/common/skeleton.py, shared by
+demo.py and demo_video.py) so MPII (16) and CrowdPose (14) layouts draw
+without out-of-range indices.
 """
 import importlib.util
 import os
-import sys
 from types import SimpleNamespace
 
 import yaml
@@ -14,34 +14,31 @@ import yaml
 _REPO = os.path.join(os.path.dirname(__file__), "..", "..")
 
 
-def _load_demo():
+def _load_skeleton_mod():
     spec = importlib.util.spec_from_file_location(
-        "demo_cli_mod", os.path.join(_REPO, "tools", "demo.py"))
+        "demo_skeleton_mod",
+        os.path.join(_REPO, "tools", "common", "skeleton.py"))
     mod = importlib.util.module_from_spec(spec)
-    sys.path.insert(0, os.path.join(_REPO, "tools"))
-    try:
-        spec.loader.exec_module(mod)
-    finally:
-        sys.path.pop(0)
+    spec.loader.exec_module(mod)
     return mod
 
 
 def test_coco_default_skeleton():
-    mod = _load_demo()
+    mod = _load_skeleton_mod()
     args = SimpleNamespace(dataset_setting={}, num_joints=17)
-    edges = mod._resolve_skeleton(args)
+    edges = mod.resolve_skeleton(args)
     assert len(edges) == 19
     assert all(max(a, b) < 17 for a, b in edges)
 
 
 def test_non_coco_without_skeleton_draws_dots_only():
-    mod = _load_demo()
+    mod = _load_skeleton_mod()
     args = SimpleNamespace(dataset_setting={}, num_joints=14)
-    assert mod._resolve_skeleton(args) == []
+    assert mod.resolve_skeleton(args) == []
 
 
 def test_recipe_skeletons_fit_their_layout():
-    mod = _load_demo()
+    mod = _load_skeleton_mod()
     for cfg_rel, joints in [
         ("configs/mpii/hrnet_w32_mpii_tpu.yaml", 16),
         ("configs/crowdpose/hrnet_w32_crowdpose_tpu.yaml", 14),
@@ -50,6 +47,6 @@ def test_recipe_skeletons_fit_their_layout():
             cfg = yaml.safe_load(f)
         args = SimpleNamespace(
             dataset_setting=cfg["dataset_setting"], num_joints=joints)
-        edges = mod._resolve_skeleton(args)
+        edges = mod.resolve_skeleton(args)
         assert edges, cfg_rel
         assert all(max(a, b) < joints for a, b in edges), cfg_rel

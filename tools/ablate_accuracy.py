@@ -247,6 +247,41 @@ def eval_checkpoint(net, state, data: dict, decoder_kwargs: dict,
         return evaluator(records)
 
 
+def load_completed_runs(runs_path: str):
+    """Crash-safe resume: read <out>.runs.jsonl -> (runs, done_pairs).
+
+    Dedups per (arm, seed, label) keeping the LAST record — a crash between
+    an arm's evals leaves stale partials that a retrain then duplicates, so
+    only the latest eval of each label counts. A pair is complete only when
+    every eval label of the arm is present; a truncated tail line (crash
+    mid-write) is skipped and its pair simply re-runs.
+    """
+    prior = []
+    with open(runs_path) as f:
+        for ln in f:
+            if not ln.strip():
+                continue
+            try:
+                prior.append(json.loads(ln))
+            except json.JSONDecodeError:
+                logging.warning("skipping malformed line in %s", runs_path)
+    by_key = {}
+    for rec in prior:
+        by_key[(rec["arm"], rec["seed"], rec["label"])] = rec
+    by_pair = {}
+    for (arm, seed, _), rec in by_key.items():
+        by_pair.setdefault((arm, seed), []).append(rec)
+    runs, done_pairs = [], set()
+    for (arm, seed), recs in by_pair.items():
+        if arm not in ARMS:
+            continue
+        want = {label for label, _, _ in ARMS[arm]["evals"]}
+        if {r["label"] for r in recs} >= want:
+            done_pairs.add((arm, seed))
+            runs.extend(recs)
+    return runs, done_pairs
+
+
 def summarize(runs: list) -> dict:
     by_label = {}
     for r in runs:
@@ -311,15 +346,7 @@ def main() -> None:
     runs_path = (args.out + ".runs.jsonl") if args.out else ""
     done_pairs = set()
     if runs_path and os.path.exists(runs_path):
-        with open(runs_path) as f:
-            prior = [json.loads(ln) for ln in f if ln.strip()]
-        by_pair = {}
-        for rec in prior:
-            by_pair.setdefault((rec["arm"], rec["seed"]), []).append(rec)
-        for (arm, seed), recs in by_pair.items():
-            if arm in ARMS and len(recs) >= len(ARMS[arm]["evals"]):
-                done_pairs.add((arm, seed))
-                runs.extend(recs)
+        runs, done_pairs = load_completed_runs(runs_path)
         if done_pairs:
             logging.info("resuming: %d completed (arm, seed) pairs found in "
                          "%s", len(done_pairs), runs_path)

@@ -59,8 +59,19 @@ def convert(records, img_root=None, apply_center_shift=True):
     for rec in records:
         name = rec["image"]
         joints = np.asarray(rec["joints"], np.float64).reshape(-1, 2)
-        sizes[name][0] = max(sizes[name][0], float(joints[:, 0].max()) + 50)
-        sizes[name][1] = max(sizes[name][1], float(joints[:, 1].max()) + 50)
+        # estimated canvas must cover the scale*200 person box too (not just
+        # the joints): downstream _sanitize_bbox clips boxes to the image, so
+        # an undersized estimate would silently shift every crop's
+        # center/scale off the MPII protocol
+        center = np.asarray(rec["center"], np.float64)
+        scale = float(np.asarray(rec["scale"]).reshape(-1)[0])
+        if apply_center_shift:
+            center = center + [0.0, CENTER_Y_SHIFT * scale]
+        half = scale * PIXEL_STD / 2
+        sizes[name][0] = max(sizes[name][0], float(joints[:, 0].max()) + 50,
+                             center[0] + half + 1)
+        sizes[name][1] = max(sizes[name][1], float(joints[:, 1].max()) + 50,
+                             center[1] + half + 1)
 
     for ann_id, rec in enumerate(records, start=1):
         name = rec["image"]

@@ -22,32 +22,12 @@ import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import serialization
-
 from mindpose_tpu.config import parse_args
 from mindpose_tpu.engine import BottomUpPredictor, TopDownPredictor
 from mindpose_tpu.models import create_network
+from mindpose_tpu.utils.checkpoint import load_variables
 from common.log import setup_default_logging
-
-# default skeleton is the 17-joint COCO layout; other layouts (MPII 16,
-# CrowdPose 14) supply dataset_setting.skeleton in their recipe, else only
-# joint dots are drawn
-_COCO_SKELETON = [
-    (15, 13), (13, 11), (16, 14), (14, 12), (11, 12), (5, 11), (6, 12),
-    (5, 6), (5, 7), (6, 8), (7, 9), (8, 10), (1, 2), (0, 1), (0, 2),
-    (1, 3), (2, 4), (3, 5), (4, 6),
-]
-
-
-def _resolve_skeleton(args):
-    edges = (args.dataset_setting or {}).get("skeleton")
-    if edges is None and args.num_joints == 17:
-        edges = _COCO_SKELETON
-    return [
-        (int(a), int(b)) for a, b in (edges or [])
-        if max(int(a), int(b)) < args.num_joints
-    ]
-
+from common.skeleton import resolve_skeleton
 
 def main() -> None:
     setup_default_logging()
@@ -60,7 +40,7 @@ def main() -> None:
             {"names": ["--vis-thr"], "type": float, "default": 0.2},
         ],
     )
-    skeleton = _resolve_skeleton(args)
+    skeleton = resolve_skeleton(args)
     os.makedirs(args.output_dir, exist_ok=True)
 
     net = create_network(
@@ -75,12 +55,7 @@ def main() -> None:
         train=False,
     )
     if getattr(args, "ckpt", None):
-        with open(args.ckpt, "rb") as f:
-            raw = serialization.msgpack_restore(f.read())
-        variables = {
-            "params": raw.get("params", raw),
-            "batch_stats": raw.get("batch_stats", variables.get("batch_stats", {})),
-        }
+        variables = load_variables(args.ckpt, variables)
 
     bottomup = getattr(args, "pipeline_method", "topdown") == "bottomup"
     if bottomup:

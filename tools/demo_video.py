@@ -7,8 +7,9 @@ Usage:
 
 Top-down configs: --boxes fixes the person crops for every frame (default:
 one whole-frame box). Bottom-up configs (pipeline_method: bottomup) detect
-every person per frame; smoothing applies only while the instance count is
-stable (the filter resets when it changes). No reference counterpart.
+every person per frame; instances are matched to the previous frame by
+center distance (Hungarian) so smoothing follows the same person, and the
+filter resets when the instance count changes. No reference counterpart.
 """
 import logging
 import os
@@ -24,32 +25,36 @@ import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import serialization
 
 from common.log import setup_default_logging
+from common.skeleton import resolve_skeleton
 from mindpose_tpu.config import parse_args
 from mindpose_tpu.engine import BottomUpPredictor, TopDownPredictor
 from mindpose_tpu.models import create_network
+from mindpose_tpu.utils.checkpoint import load_variables
 from mindpose_tpu.utils.smoothing import OneEuroFilter
 
-# default skeleton is the 17-joint COCO layout; other layouts (MPII 16,
-# CrowdPose 14) supply dataset_setting.skeleton in their recipe, else only
-# joint dots are drawn
-_COCO_SKELETON = [
-    (15, 13), (13, 11), (16, 14), (14, 12), (11, 12), (5, 11), (6, 12),
-    (5, 6), (5, 7), (6, 8), (7, 9), (8, 10), (1, 2), (0, 1), (0, 2),
-    (1, 3), (2, 4), (3, 5), (4, 6),
-]
 
+def _associate(people, prev_centers):
+    """Reorder instances to match the previous frame's person centers.
 
-def _resolve_skeleton(args):
-    edges = (args.dataset_setting or {}).get("skeleton")
-    if edges is None and args.num_joints == 17:
-        edges = _COCO_SKELETON
-    return [
-        (int(a), int(b)) for a, b in (edges or [])
-        if max(int(a), int(b)) < args.num_joints
-    ]
+    The One-Euro state is keyed by array position, but bottom-up grouping
+    order is not a stable identity — two people whose scores cross would
+    otherwise have their trajectories low-passed into each other. Hungarian
+    assignment on center distance makes position a stable identity while
+    the instance count is unchanged (a count change resets the filter).
+    """
+    if prev_centers is None or len(prev_centers) != len(people) \
+            or len(people) < 2:
+        return people
+    from scipy.optimize import linear_sum_assignment
+
+    centers = people[:, :, :2].mean(axis=1)
+    cost = np.linalg.norm(centers[:, None] - prev_centers[None], axis=-1)
+    rows, cols = linear_sum_assignment(cost)
+    order = np.empty(len(people), int)
+    order[cols] = rows
+    return people[order]
 
 
 def _draw(frame, people, vis_thr, skeleton):
@@ -83,7 +88,7 @@ def main() -> None:
             {"names": ["--max-frames"], "type": int, "default": 0},
         ],
     )
-    skeleton = _resolve_skeleton(args)
+    skeleton = resolve_skeleton(args)
 
     net = create_network(
         backbone_name=args.backbone_name, head_name=args.head_name,
@@ -97,14 +102,7 @@ def main() -> None:
         jnp.zeros((1, image_size[1], image_size[0], 3)), train=False,
     )
     if getattr(args, "ckpt", None):
-        with open(args.ckpt, "rb") as f:
-            raw = serialization.msgpack_restore(f.read())
-        variables = {
-            "params": raw.get("params", raw),
-            "batch_stats": raw.get(
-                "batch_stats", variables.get("batch_stats", {})
-            ),
-        }
+        variables = load_variables(args.ckpt, variables)
 
     bottomup = getattr(args, "pipeline_method", "topdown") == "bottomup"
     if bottomup:
@@ -146,6 +144,7 @@ def main() -> None:
             boxes = np.array([[0, 0, width, height]], np.float32)
 
     smoother = None
+    prev_centers = None
     if not args.no_smooth:
         smoother = OneEuroFilter(
             freq=fps, min_cutoff=args.min_cutoff, beta=args.beta
@@ -166,6 +165,9 @@ def main() -> None:
         if smoother is not None and people.size:
             # smooth coordinates only; shape change (new/lost person)
             # resets the filter via the shape check inside
+            if bottomup:
+                people = _associate(people, prev_centers)
+                prev_centers = people[:, :, :2].mean(axis=1)
             people = people.copy()
             people[..., :2] = smoother(people[..., :2])
         _draw(frame, people, args.vis_thr, skeleton)

@@ -81,13 +81,9 @@ def evaluate(args):
     if not getattr(args, "ckpt", None):
         raise ValueError("--ckpt is required for evaluation")
     # checkpoints store the full TrainState; accept raw variables too
-    from flax import serialization
+    from mindpose_tpu.utils.checkpoint import load_variables
 
-    with open(args.ckpt, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
-    params = raw.get("params", raw)
-    batch_stats = raw.get("batch_stats", variables.get("batch_stats", {}))
-    variables = {"params": params, "batch_stats": batch_stats}
+    variables = load_variables(args.ckpt, variables)
 
     decoder = create_decoder(
         args.decoder_name, **(getattr(args, "decoder_setting", None) or {})

@@ -56,13 +56,9 @@ def build_eval_net(args, raw_output: bool):
     variables = jax.device_get(
         net.init(jax.random.PRNGKey(0), dummy, train=False))
 
-    from flax import serialization
+    from mindpose_tpu.utils.checkpoint import load_variables
 
-    with open(args.ckpt, "rb") as f:
-        raw = serialization.msgpack_restore(f.read())
-    params = raw.get("params", raw)
-    batch_stats = raw.get("batch_stats", variables.get("batch_stats", {}))
-    variables = {"params": params, "batch_stats": batch_stats}
+    variables = load_variables(args.ckpt, variables)
 
     decoder = create_decoder(
         args.decoder_name, **(getattr(args, "decoder_setting", None) or {})

@@ -22,8 +22,6 @@ apply_platform_env()
 
 import jax
 import jax.numpy as jnp
-from flax import serialization
-
 from common.log import setup_default_logging
 from mindpose_tpu.config import parse_args
 from mindpose_tpu.engine import (
@@ -33,6 +31,7 @@ from mindpose_tpu.engine import (
     build_http_server,
 )
 from mindpose_tpu.models import create_network
+from mindpose_tpu.utils.checkpoint import load_variables
 
 
 def build_service(args, batch_size: int = 32) -> PoseService:
@@ -49,17 +48,15 @@ def build_service(args, batch_size: int = 32) -> PoseService:
         train=False,
     )
     if getattr(args, "ckpt", None):
-        with open(args.ckpt, "rb") as f:
-            raw = serialization.msgpack_restore(f.read())
-        variables = {
-            "params": raw.get("params", raw),
-            "batch_stats": raw.get(
-                "batch_stats", variables.get("batch_stats", {})
-            ),
-        }
+        variables = load_variables(args.ckpt, variables)
 
     mode = getattr(args, "pipeline_method", "topdown")
     if mode == "bottomup":
+        if getattr(args, "quantize", ""):
+            raise ValueError(
+                "--quantize is implemented for the top-down predictor only; "
+                "refusing to silently serve full-precision bottom-up weights"
+            )
         predictor = BottomUpPredictor(
             net, variables,
             dataset_setting=args.dataset_setting,

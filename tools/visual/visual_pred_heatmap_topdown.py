@@ -16,9 +16,9 @@ import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import serialization
 
 from mindpose_tpu.config import parse_args
+from mindpose_tpu.utils.checkpoint import load_variables
 from mindpose_tpu.data import create_dataset, create_pipeline
 from mindpose_tpu.models import create_decoder, create_eval_network, create_network
 from common.log import setup_default_logging
@@ -57,12 +57,7 @@ def main() -> None:
         train=False,
     )
     if getattr(args, "ckpt", None):
-        with open(args.ckpt, "rb") as f:
-            raw = serialization.msgpack_restore(f.read())
-        variables = {
-            "params": raw.get("params", raw),
-            "batch_stats": raw.get("batch_stats", variables.get("batch_stats", {})),
-        }
+        variables = load_variables(args.ckpt, variables)
 
     decoder = create_decoder(
         args.decoder_name, to_original=False,
