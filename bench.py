@@ -178,6 +178,142 @@ def bench_e2e_encode(num_images: int = 96, epochs: int = 3) -> dict:
             "e2e_records_per_epoch": r["records_per_epoch"]}
 
 
+def bench_bottomup_step(batch_per_chip: int = 24, iters: int = 10) -> dict:
+    """HigherHRNet-W32 512x512 train-step throughput (the bottom-up family).
+
+    Mirrors the reference's only bottom-up recipe
+    (configs/higher_hrnet/higher_hrnet_w32_ascend.yaml: 512x512, heatmaps
+    128+256, ae_multi_loss with masks + tag indices). Tracked here so
+    bottom-up perf regressions are driver-visible, not README-only.
+    """
+    import mindpose_tpu as mp
+    from mindpose_tpu.optim import create_optimizer
+    from mindpose_tpu.parallel import (
+        build_train_step,
+        create_mesh,
+        create_train_state,
+        shard_batch,
+    )
+
+    devices = jax.devices()
+    n_dev = len(devices)
+    mesh = create_mesh() if n_dev > 1 else None
+    batch = batch_per_chip * n_dev
+    K, M = 17, 30
+
+    net = mp.create_network(
+        "hrnet_w32", "higher_hrnet_head", dtype=jnp.bfloat16,
+        head_args={"with_ae_loss": (True, False)},
+    )
+    loss = mp.create_loss(
+        "ae_multi_loss", num_joints=K, num_stages=2,
+        stage_sizes=[[128, 128], [256, 256]],
+        mse_loss_factor=[1.0, 1.0], ae_loss_factor=[0.001, 0.001],
+        with_mse_loss=[True, True], with_ae_loss=[True, False],
+    )
+    nwl = mp.create_network_with_loss(net, loss, has_extra_inputs=True)
+
+    image = jnp.zeros((1, 512, 512, 3), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), image, train=False)
+    tx = create_optimizer(variables["params"], "adam", learning_rate=1e-3)
+    state = create_train_state(variables, tx)
+    step_fn = build_train_step(nwl, tx, mesh=mesh)
+
+    rng = np.random.RandomState(0)
+    tag_ind = np.zeros((batch, 2, M, K, 2), np.int32)
+    tag_ind[..., 0] = rng.randint(0, 128 * 128, (batch, 2, M, K))
+    tag_ind[..., 1] = rng.randint(0, 2, (batch, 2, M, K))  # valid flag
+    arrays = shard_batch(
+        [
+            rng.rand(batch, 512, 512, 3).astype(np.float32),
+            rng.rand(batch, 2, 256, 256, K).astype(np.float32),
+            np.ones((batch, 2, 256, 256), np.float32),
+            tag_ind,
+        ],
+        mesh,
+    )
+
+    for _ in range(2):
+        state, lv = step_fn(state, *arrays)
+    _ = np.asarray(lv)
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, lv = step_fn(state, *arrays)
+        _ = np.asarray(lv)
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
+    ips = batch * iters / dt
+    return {
+        "higher_hrnet_train_images_per_sec_per_chip": ips / n_dev,
+        "higher_hrnet_step_time_ms": dt / iters * 1000,
+        "higher_hrnet_batch_per_chip": batch_per_chip,
+    }
+
+
+# metrics guarded against round-over-round regression: name -> (path into the
+# BENCH_r*.json record, higher_is_better)
+_GUARDED = {
+    "train_images_per_sec_per_chip": True,
+    "decode_amortized_ms": False,
+    "decode_pallas_amortized_ms": False,
+    "e2e_images_per_sec": True,
+    "higher_hrnet_train_images_per_sec_per_chip": True,
+}
+_REGRESSION_TOL = 0.03  # flag >3% worse than the best prior round
+
+
+def check_regressions(extra: dict) -> dict:
+    """Compare this run's metrics against all prior BENCH_r*.json rounds.
+
+    Returns {"history": {metric: {round: value}}, "regressions": [...]} where
+    each regression entry names the metric, this round's value, the best
+    prior value and the round it came from. Missing/corrupt history files are
+    skipped — the guard must never fail the bench.
+    """
+    import glob
+    import re
+
+    history = {}
+    for path in sorted(glob.glob("BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            ex = rec.get("parsed", rec).get("extra", {})
+        except Exception:
+            continue
+        for metric in _GUARDED:
+            if metric in ex:
+                history.setdefault(metric, {})[rnd] = ex[metric]
+
+    regressions = []
+    for metric, higher_better in _GUARDED.items():
+        cur = extra.get(metric)
+        if cur is None or metric not in history:
+            continue
+        vals = history[metric]
+        if higher_better:
+            best_rnd = max(vals, key=lambda r: vals[r])
+        else:
+            best_rnd = min(vals, key=lambda r: vals[r])
+        best = vals[best_rnd]
+        worse = (best - cur) / best if higher_better else (cur - best) / best
+        if worse > _REGRESSION_TOL:
+            regressions.append({
+                "metric": metric,
+                "value": round(float(cur), 3),
+                "best_prior": round(float(best), 3),
+                "best_round": best_rnd,
+                "worse_by_pct": round(float(worse) * 100, 1),
+            })
+    return {"bench_history": history, "regressions": regressions}
+
+
 def main() -> None:
     _arm_watchdog()
     try:
@@ -198,6 +334,10 @@ def main() -> None:
         }), flush=True)
         raise
     try:
+        bu_stats = bench_bottomup_step()
+    except Exception as e:  # extras never fail the headline bench
+        bu_stats = {"higher_hrnet_error": repr(e)[:200]}
+    try:
         e2e_stats = bench_e2e_encode()
     except Exception as e:  # e2e is an extra, never fail the headline bench
         e2e_stats = {"e2e_error": repr(e)[:200]}
@@ -210,6 +350,12 @@ def main() -> None:
 
     value = train_stats["train_images_per_sec_per_chip"]
     vs_baseline = value / baseline if baseline else 1.0
+    extra = {**train_stats, **decode_stats, **bu_stats, **e2e_stats}
+    try:
+        guard = check_regressions(extra)
+        extra["regressions"] = guard["regressions"]
+    except Exception as e:
+        extra["regression_guard_error"] = repr(e)[:200]
     print(
         json.dumps(
             {
@@ -217,7 +363,7 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(vs_baseline, 3),
-                "extra": {**train_stats, **decode_stats, **e2e_stats},
+                "extra": extra,
             }
         )
     )

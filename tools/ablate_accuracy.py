@@ -267,7 +267,10 @@ def load_completed_runs(runs_path: str):
                 logging.warning("skipping malformed line in %s", runs_path)
     by_key = {}
     for rec in prior:
-        by_key[(rec["arm"], rec["seed"], rec["label"])] = rec
+        try:
+            by_key[(rec["arm"], rec["seed"], rec["label"])] = rec
+        except (KeyError, TypeError):
+            logging.warning("skipping malformed record in %s: %r", runs_path, rec)
     by_pair = {}
     for (arm, seed, _), rec in by_key.items():
         by_pair.setdefault((arm, seed), []).append(rec)

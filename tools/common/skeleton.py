@@ -19,5 +19,5 @@ def resolve_skeleton(args):
         edges = COCO_SKELETON
     return [
         (int(a), int(b)) for a, b in (edges or [])
-        if max(int(a), int(b)) < args.num_joints
+        if 0 <= min(int(a), int(b)) and max(int(a), int(b)) < args.num_joints
     ]

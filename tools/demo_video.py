@@ -162,14 +162,20 @@ def main() -> None:
                 else np.zeros((0, args.num_joints, 3))
         else:
             people = np.asarray(predictor(rgb, boxes))
-        if smoother is not None and people.size:
-            # smooth coordinates only; shape change (new/lost person)
-            # resets the filter via the shape check inside
-            if bottomup:
-                people = _associate(people, prev_centers)
-                prev_centers = people[:, :, :2].mean(axis=1)
-            people = people.copy()
-            people[..., :2] = smoother(people[..., :2])
+        if smoother is not None:
+            if not people.size:
+                # detection gap: drop track state so re-detections start a
+                # fresh track instead of associating against stale centers
+                prev_centers = None
+                smoother.reset()
+            else:
+                # smooth coordinates only; shape change (new/lost person)
+                # resets the filter via the shape check inside
+                if bottomup:
+                    people = _associate(people, prev_centers)
+                    prev_centers = people[:, :, :2].mean(axis=1)
+                people = people.copy()
+                people[..., :2] = smoother(people[..., :2])
         _draw(frame, people, args.vis_thr, skeleton)
         writer.write(frame)
         frames += 1
