@@ -154,7 +154,29 @@ class TopDownAffineMatrix(TopDownAffine):
     map the keypoints, but leave the pixels to the on-device warp
     (ops/image.affine_warp). A deferred horizontal flip (state["hflip"]) is
     folded into the matrix so the host never touches pixel data.
+
+    ``crop_source_patch`` (default on) ships only the axis-aligned source
+    rectangle the output crop actually samples — the preimage AABB of the
+    output corners under the warp, plus a bilinear margin — instead of the
+    whole frame, with the matrix rebased to patch coordinates. The device
+    result is bit-identical (every sampled source pixel is inside the
+    patch; out-of-frame stays zero in both), while host->device bytes drop
+    from full padded frames (~126 MB/batch at VGA, batch 128) to roughly
+    the person-crop footprint. Host cost is one numpy slice per record —
+    full mode keeps its minimal-host-CPU property.
     """
+
+    def __init__(
+        self,
+        is_train: bool = True,
+        config: Optional[Dict[str, Any]] = None,
+        use_udp: bool = False,
+        crop_source_patch: bool = True,
+        patch_margin: int = 2,
+    ) -> None:
+        super().__init__(is_train=is_train, config=config, use_udp=use_udp)
+        self.crop_source_patch = crop_source_patch
+        self.patch_margin = int(patch_margin)
 
     def transform(self, state: Dict[str, Any]) -> Dict[str, Any]:
         out = self._matrix_and_keypoints(state)
@@ -164,8 +186,49 @@ class TopDownAffineMatrix(TopDownAffine):
             # keypoints/center are already in flipped coordinates; the warp
             # must first mirror the original frame
             trans = compose_affine(trans, hflip_matrix(state["image"].shape[1]))
+        if self.crop_source_patch:
+            patch, trans = self._crop_to_patch(state["image"], trans)
+            out["image"] = patch
         out["warp_mat"] = np.asarray(trans, np.float32)
         return out
+
+    def _crop_to_patch(
+        self, frame: np.ndarray, trans: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Crop the frame to the warp's source AABB; rebase the matrix.
+
+        The output rectangle's preimage under an affine map is a convex
+        quad; its AABB (with a bilinear-support margin, clamped to the
+        frame) contains every source pixel the device warp can touch, so
+        warping the patch with the rebased matrix reproduces the full-frame
+        warp exactly.
+        """
+        h, w = frame.shape[:2]
+        ow, oh = (int(x) for x in self._transform_cfg["image_size"])
+        m = np.vstack([np.asarray(trans, np.float64), [0.0, 0.0, 1.0]])
+        corners = np.array(
+            [[0, 0, 1], [ow - 1, 0, 1], [0, oh - 1, 1], [ow - 1, oh - 1, 1]],
+            np.float64,
+        ).T
+        src = np.linalg.inv(m) @ corners  # [3, 4] source coords
+        mg = self.patch_margin
+        x0 = max(0, int(np.floor(src[0].min())) - mg)
+        y0 = max(0, int(np.floor(src[1].min())) - mg)
+        x1 = min(w, int(np.ceil(src[0].max())) + mg + 1)
+        y1 = min(h, int(np.ceil(src[1].max())) + mg + 1)
+        # fully out-of-frame boxes degenerate to a 1px patch (sampled region
+        # is out of frame either way -> zeros, matching cv2 border behavior)
+        x0 = min(x0, w - 1)
+        y0 = min(y0, h - 1)
+        x1 = max(x1, x0 + 1)
+        y1 = max(y1, y0 + 1)
+        patch = np.ascontiguousarray(frame[y0:y1, x0:x1])
+        # patch coords q correspond to source s = q + (x0, y0):
+        # trans'(q) = A q + (A @ offset + b)
+        a = np.asarray(trans, np.float64)[:, :2]
+        b = np.asarray(trans, np.float64)[:, 2]
+        b2 = a @ np.array([x0, y0], np.float64) + b
+        return patch, np.concatenate([a, b2[:, None]], axis=1)
 
 
 @register("transform", extra_name="topdown_generate_target")

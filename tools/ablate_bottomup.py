@@ -59,6 +59,18 @@ tag_ind_np[..., 1] = rng.randint(0, 2, (B, 2, M, K))
 tag_ind = jnp.asarray(tag_ind_np)
 
 
+def gnorm(tree):
+    """Reduce any output tree to ONE on-device scalar.
+
+    The sync fetch must be 4 bytes: fetching a grad ARRAY as the barrier
+    ships tens of MB over the ~25 MB/s axon tunnel and swamps the
+    measurement (this tool's first run reported the loss parts at ~260 ms
+    that way; they are ~4 ms — see ablate_bu_loss.py).
+    """
+    return sum(jnp.vdot(g.astype(jnp.float32), g.astype(jnp.float32))
+               for g in jax.tree_util.tree_leaves(tree))
+
+
 def timeit(f, args, iters=10,
            fetch=lambda o: np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[0]):
     o = f(*args)
@@ -105,7 +117,7 @@ def fwdbwd(params, stats, x, target, mask, tag_ind):
         out, _ = nwl.apply({"params": p, "batch_stats": stats},
                            x, target, mask, tag_ind)
         return jnp.sum(out)
-    return jax.grad(lf)(params)
+    return gnorm(jax.grad(lf)(params))
 print(f"fwd+bwd (no opt)               "
       f"{timeit(fwdbwd, (params, stats, x, target, mask, tag_ind)):8.2f} ms")
 
@@ -115,7 +127,7 @@ def fwdbwd_eval(params, stats, x, target, mask, tag_ind):
     def lf(p):
         preds = net.apply({"params": p, "batch_stats": stats}, x, train=False)
         return jnp.sum(loss(preds, target, mask, tag_ind))
-    return jax.grad(lf)(params)
+    return gnorm(jax.grad(lf)(params))
 print(f"fwd+bwd (eval BN)              "
       f"{timeit(fwdbwd_eval, (params, stats, x, target, mask, tag_ind)):8.2f} ms")
 
@@ -130,7 +142,7 @@ def bb_fwdbwd(p, s, x):
             mutable=["batch_stats"],
         )
         return jnp.sum(feat.astype(jnp.float32))
-    return jax.grad(lf)(p)
+    return gnorm(jax.grad(lf)(p))
 print(f"backbone only fwd+bwd          "
       f"{timeit(bb_fwdbwd, (bvars['params'], bvars['batch_stats'], x)):8.2f} ms")
 
@@ -146,7 +158,7 @@ def head_fwdbwd(p, s, feat):
             mutable=["batch_stats"],
         )
         return sum(jnp.sum(o.astype(jnp.float32)) for o in preds)
-    return jax.grad(lf)(p)
+    return gnorm(jax.grad(lf)(p))
 print(f"head only fwd+bwd              "
       f"{timeit(head_fwdbwd, (hvars['params'], hvars['batch_stats'], feat)):8.2f} ms")
 
@@ -158,7 +170,7 @@ pred1 = jnp.asarray(rng.rand(B, 256, 256, K).astype(np.float32)).astype(jnp.bflo
 def loss_fwdbwd(pred0, pred1, target, mask, tag_ind):
     def lf(preds):
         return jnp.sum(loss(preds, target, mask, tag_ind))
-    return jax.grad(lf)((pred0, pred1))
+    return gnorm(jax.grad(lf)((pred0, pred1)))
 print(f"loss only fwd+bwd (full)       "
       f"{timeit(loss_fwdbwd, (pred0, pred1, target, mask, tag_ind)):8.2f} ms")
 
@@ -170,7 +182,7 @@ def mse_fwdbwd(pred0, pred1, target, mask):
         return (jnp.sum(mse_c(p0[..., :K], target[:, 0, :128, :128, :],
                               mask[:, 0, :128, :128]))
                 + jnp.sum(mse_c(p1, target[:, 1], mask[:, 1])))
-    return jax.grad(lf)((pred0, pred1))
+    return gnorm(jax.grad(lf)((pred0, pred1)))
 print(f"  mse part only                "
       f"{timeit(mse_fwdbwd, (pred0, pred1, target, mask)):8.2f} ms")
 
@@ -180,7 +192,7 @@ def ae_fwdbwd(pred0, tag_ind):
     def lf(p0):
         push, pull = ae_c(p0[..., K:], tag_ind[:, 0]) * 0.001
         return push + pull
-    return jax.grad(lf)(pred0)
+    return gnorm(jax.grad(lf)(pred0))
 print(f"  ae part only                 {timeit(ae_fwdbwd, (pred0, tag_ind)):8.2f} ms")
 
 # 7b. mse with exact-size per-level targets (no padded [S,256,256] layout)
@@ -194,7 +206,7 @@ def mse_exact_fwdbwd(pred0, pred1, t0_exact, t1_exact, m0_exact, m1_exact):
         p0, p1 = preds
         return (jnp.sum(mse_c(p0[..., :K], t0_exact, m0_exact))
                 + jnp.sum(mse_c(p1, t1_exact, m1_exact)))
-    return jax.grad(lf)((pred0, pred1))
+    return gnorm(jax.grad(lf)((pred0, pred1)))
 print(f"  mse, exact-size targets      "
       f"{timeit(mse_exact_fwdbwd, (pred0, pred1, t0_exact, t1_exact, m0_exact, m1_exact)):8.2f} ms")
 
@@ -205,5 +217,5 @@ def opt_only(params, opt_state):
     import optax
     grads = jax.tree.map(jnp.ones_like, params)
     updates, new_opt = tx.update(grads, opt_state, params)
-    return optax.apply_updates(params, updates)
+    return gnorm(optax.apply_updates(params, updates))
 print(f"optimizer only (adam)          {timeit(opt_only, (params, opt_state)):8.2f} ms")

@@ -46,7 +46,7 @@ def bb_cost(net, variables, x, train=True):
             {"params": params, "batch_stats": variables["batch_stats"]},
             x, train=train, mutable=["batch_stats"] if train else [],
         )
-        out = out[0] if train else out
+        out = out[0] if isinstance(out, tuple) else out
         return jnp.sum(out.astype(jnp.float32))
 
     step = jax.jit(jax.grad(fwd, argnums=0))
@@ -63,19 +63,14 @@ def bb_cost(net, variables, x, train=True):
 net = HRNet(stage_cfg=_freeze_cfg(_w_cfg(32)), dtype=dt)
 rng = np.random.RandomState(0)
 
-print(f"{'shape':24s} {'ms':>8s} {'TFLOP':>7s} {'GB':>7s} {'ms/Mpix':>8s}")
-for (b, h, w) in [(128, 256, 192), (96, 256, 256), (24, 512, 512),
-                  (48, 512, 256), (24, 512, 512)]:
+print(f"{'shape':26s} {'ms':>8s} {'TFLOP':>7s} {'GB':>7s} {'ms/Mpix':>8s}")
+for (b, h, w) in [(128, 256, 192), (96, 256, 256), (48, 512, 256),
+                  (24, 512, 512)]:
     x = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
     variables = net.init(jax.random.PRNGKey(0), x[:1], train=False)
-    ms, fl, by = bb_cost(net, variables, x)
     mpix = b * h * w / 1e6
-    print(f"B{b:<4d}{h}x{w:<12} {ms:8.2f} {fl:7.2f} {by:7.1f} {ms/mpix:8.3f}",
-          flush=True)
-
-# eval-BN variant of the 512 case (no batch-stats reductions)
-x = jnp.asarray(rng.rand(24, 512, 512, 3).astype(np.float32))
-variables = net.init(jax.random.PRNGKey(0), x[:1], train=False)
-ms, fl, by = bb_cost(net, variables, x, train=False)
-print(f"{'B24 512x512 (eval BN)':24s} {ms:8.2f} {fl:7.2f} {by:7.1f}",
-      flush=True)
+    for train in (True, False):
+        ms, fl, by = bb_cost(net, variables, x, train=train)
+        tag = "train" if train else "eval "
+        print(f"B{b:<4d}{h}x{w:<8} {tag}BN {ms:8.2f} {fl:7.2f} {by:7.1f}"
+              f" {ms/mpix:8.3f}", flush=True)

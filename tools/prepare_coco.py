@@ -49,7 +49,34 @@ def main() -> None:
         help="also fetch the person detection results used for val",
     )
     parser.add_argument("--timeout", type=float, default=3600.0)
+    parser.add_argument(
+        "--dry-run", action="store_true",
+        help="print the download/extract plan and the expected final layout "
+        "without touching the network (for zero-egress smoke tests)",
+    )
     args = parser.parse_args()
+
+    if args.dry_run:
+        print(f"data dir: {os.path.abspath(args.data_dir)}")
+        for name, url in _URLS.items():
+            sub = "images" if "images" in name else "."
+            print(f"  would download+extract {name}: {url} -> {sub}/")
+        if args.detection_results:
+            print(f"  would download {_DET_RESULTS_URL} -> "
+                  "person_detection_results/")
+        print("expected final layout:")
+        for p in (
+            "images/train2017/  (118287 jpgs)",
+            "images/val2017/  (5000 jpgs)",
+            "annotations/person_keypoints_train2017.json",
+            "annotations/person_keypoints_val2017.json",
+            "person_detection_results/COCO_val2017_detections_AP_H_56_person.json",
+            ".prepare_done  (rank-0 barrier marker)",
+        ):
+            exists = os.path.exists(
+                os.path.join(args.data_dir, p.split()[0].rstrip("/")))
+            print(f"  {'[have]' if exists else '[need]'} {p}")
+        return
 
     os.makedirs(args.data_dir, exist_ok=True)
     marker = os.path.join(args.data_dir, ".prepare_done")
