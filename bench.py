@@ -178,13 +178,17 @@ def bench_e2e_encode(num_images: int = 96, epochs: int = 3) -> dict:
             "e2e_records_per_epoch": r["records_per_epoch"]}
 
 
-def bench_bottomup_step(batch_per_chip: int = 24, iters: int = 10) -> dict:
+def bench_bottomup_step(batch_per_chip: int = 24, iters: int = 10,
+                        backbone_args: dict = None,
+                        head_args: dict = None) -> dict:
     """HigherHRNet-W32 512x512 train-step throughput (the bottom-up family).
 
     Mirrors the reference's only bottom-up recipe
     (configs/higher_hrnet/higher_hrnet_w32_ascend.yaml: 512x512, heatmaps
     128+256, ae_multi_loss with masks + tag indices). Tracked here so
     bottom-up perf regressions are driver-visible, not README-only.
+    backbone_args lets tools/bench_bu_variant.py time backbone variants
+    (bn_grad_stats, remat) on the identical step.
     """
     import mindpose_tpu as mp
     from mindpose_tpu.optim import create_optimizer
@@ -203,7 +207,8 @@ def bench_bottomup_step(batch_per_chip: int = 24, iters: int = 10) -> dict:
 
     net = mp.create_network(
         "hrnet_w32", "higher_hrnet_head", dtype=jnp.bfloat16,
-        head_args={"with_ae_loss": (True, False)},
+        backbone_args=backbone_args or {},
+        head_args={"with_ae_loss": (True, False), **(head_args or {})},
     )
     loss = mp.create_loss(
         "ae_multi_loss", num_joints=K, num_stages=2,

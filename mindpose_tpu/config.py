@@ -34,7 +34,8 @@ def check_divergent_knobs(args: Any) -> None:
     knobs = []
     backbone_setting = getattr(args, "backbone_setting", None) or {}
     grad_stats = backbone_setting.get("bn_grad_stats", "exact")
-    if grad_stats != "exact":
+    # "fused" is exact BN numerics with a hand-written backward — not divergent
+    if grad_stats not in ("exact", "fused"):
         knobs.append(f"backbone_setting.bn_grad_stats={grad_stats!r}")
     optimizer_setting = getattr(args, "optimizer_setting", None) or {}
     if optimizer_setting.get("radial_projection"):

@@ -40,6 +40,11 @@ class HRModule(nn.Module):
     dtype: Dtype = jnp.float32
     bn_stats_frac: float = 1.0
     bn_grad_stats: str = "exact"
+    # run branch 0's BasicBlock chain in 2x2 space-to-depth form (exact
+    # rewrite, identical param pytree): C=32 in 128 lanes instead of 32 —
+    # wins at large spatial extents (bottom-up 512x512), see
+    # docs/performance.md round-4 campaign / tools/ablate_s2d_head.py
+    branch0_s2d: bool = False
 
     @nn.compact
     def __call__(self, xs, train: bool = True):
@@ -52,6 +57,22 @@ class HRModule(nn.Module):
         for i in range(self.num_branches):
             x = xs[i]
             downsample = self.in_channels[i] != out_ch[i]
+            s2d = (self.branch0_s2d and i == 0 and self.block == "BASIC"
+                   and not downsample
+                   and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+            if s2d:
+                from .s2d import S2DBasicBlock, depth_to_space, space_to_depth
+
+                x = space_to_depth(x)
+                for _ in range(self.num_blocks[i]):
+                    x = S2DBasicBlock(
+                        self.num_channels[i], dtype=self.dtype,
+                        bn_stats_frac=self.bn_stats_frac,
+                        bn_grad_stats=self.bn_grad_stats,
+                    )(x, train)
+                x = depth_to_space(x)
+                ys.append(x)
+                continue
             x = block_cls(
                 self.num_channels[i], downsample=downsample, dtype=self.dtype,
                 bn_stats_frac=self.bn_stats_frac,
@@ -118,6 +139,9 @@ class HRNet(Backbone):
     # TPU-first deviation, see SubsampledBatchNorm in models/common.py)
     bn_stats_frac: float = 1.0
     bn_grad_stats: str = "exact"
+    # exact s2d rewrite of branch-0 BasicBlock chains (see HRModule) — a
+    # bottom-up (large-input) win; off by default for top-down shapes
+    branch0_s2d: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -182,6 +206,7 @@ class HRNet(Backbone):
                     dtype=self.dtype,
                     bn_stats_frac=self.bn_stats_frac,
                     bn_grad_stats=self.bn_grad_stats,
+                    branch0_s2d=self.branch0_s2d,
                 )(xs, train)
             pre_channels = cur_channels
 
@@ -274,7 +299,8 @@ def hrnet_w32(
                  dtype=dtype, remat=bool(kwargs.get("remat", False)),
                  stem_s2d=bool(kwargs.get("stem_s2d", False)),
                  bn_stats_frac=float(kwargs.get("bn_stats_frac", 1.0)),
-                 bn_grad_stats=str(kwargs.get("bn_grad_stats", "exact")))
+                 bn_grad_stats=str(kwargs.get("bn_grad_stats", "exact")),
+                 branch0_s2d=bool(kwargs.get("branch0_s2d", False)))
 
 
 @register("backbone")
@@ -290,4 +316,5 @@ def hrnet_w48(
                  dtype=dtype, remat=bool(kwargs.get("remat", False)),
                  stem_s2d=bool(kwargs.get("stem_s2d", False)),
                  bn_stats_frac=float(kwargs.get("bn_stats_frac", 1.0)),
-                 bn_grad_stats=str(kwargs.get("bn_grad_stats", "exact")))
+                 bn_grad_stats=str(kwargs.get("bn_grad_stats", "exact")),
+                 branch0_s2d=bool(kwargs.get("branch0_s2d", False)))

@@ -201,3 +201,128 @@ def s2d_stem_apply(
     )
     y = batch_norm(train, dtype, name="stem_bn2", stats_frac=stats_frac, grad_stats=grad_stats)(y)
     return nn.relu(y)
+
+
+def depth_to_space(x: jnp.ndarray, block: int = 2) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth` (parity-major channel layout)."""
+    n, h, w, c4 = x.shape
+    c = c4 // (block * block)
+    x = x.reshape(n, h, w, block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * block, w * block, c)
+
+
+def scatter_conv3x3_s1(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,cin,f) stride-1 SAME kernel -> (3,3,4cin,4f) s2d->s2d kernel.
+
+    A stride-1 3x3 conv on the plain tensor equals, on its 2x2
+    space-to-depth form, a stride-1 3x3 conv with SAME padding whose kernel
+    scatters the original taps: output parity (a, b) tap (t, l) input
+    parity (pi, pj) reads W[ki, kj] with ki = 2t + pi - a - 1 and
+    kj = 2l + pj - b - 1 (structural zeros outside [0, 2]). Same math, same
+    params — 4x dense MACs but 128-lane-dense channels; whether that wins
+    is shape-dependent (see tools/ablate_s2d_head.py).
+    """
+    _, _, cin, f = w.shape
+    ws = jnp.zeros((3, 3, 4 * cin, 4 * f), w.dtype)
+    for a in range(2):
+        for b in range(2):
+            for t in range(3):
+                for pi in range(2):
+                    ki = 2 * t + pi - a - 1
+                    if not 0 <= ki <= 2:
+                        continue
+                    for l in range(3):
+                        for pj in range(2):
+                            kj = 2 * l + pj - b - 1
+                            if not 0 <= kj <= 2:
+                                continue
+                            pin, pout = pi * 2 + pj, a * 2 + b
+                            ws = ws.at[
+                                t,
+                                l,
+                                pin * cin : (pin + 1) * cin,
+                                pout * f : (pout + 1) * f,
+                            ].set(w[ki, kj])
+    return ws
+
+
+def scatter_deconv4x4_s2(w: jnp.ndarray) -> jnp.ndarray:
+    """(4,4,cin,f) ConvTranspose(k4,s2,SAME) kernel -> (3,3,cin,4f) kernel
+    emitting the output directly in s2d form.
+
+    lax.conv_transpose(k=4, s=2, SAME) satisfies out[o] = sum_j x[j]
+    W[2j + 2 - o] per axis (delta-probe measured). In s2d output form,
+    parity a at index I reads x[I - 1 + t] with tap W[2t - a]: parity 0
+    spans j in {I-1, I}, parity 1 spans {I, I+1}, so the union needs a
+    3-tap kernel with structural zeros (9/4 the minimal MACs — irrelevant
+    for one layer, and MXU-dense). Apply with stride 1 and SAME padding
+    ((1,1),(1,1)): identical math and params, but the 2x-resolution tensor
+    is never materialized in plain layout.
+    """
+    _, _, cin, f = w.shape
+    ws = jnp.zeros((3, 3, cin, 4 * f), w.dtype)
+    for a in range(2):
+        for b in range(2):
+            for t in range(3):
+                ki = 2 * t - a
+                if not 0 <= ki <= 3:
+                    continue
+                for l in range(3):
+                    kj = 2 * l - b
+                    if not 0 <= kj <= 3:
+                        continue
+                    ws = ws.at[
+                        t, l, :, (a * 2 + b) * f : (a * 2 + b + 1) * f
+                    ].set(w[ki, kj])
+    return ws
+
+
+class S2DBasicBlock(nn.Module):
+    """BasicBlock applied in 2x2 space-to-depth form — exact same math and
+    parameter pytree as backbones.resnet.BasicBlock (stride 1, no
+    downsample), for channel-narrow blocks at large spatial extents where
+    C-in-lanes padding starves the conv backward (docs/performance.md,
+    round-4 bottom-up campaign).
+
+    Input/output are s2d-form NHWC (..., 4C) parity-major tensors.
+    """
+
+    channels: int
+    dtype: Dtype = jnp.float32
+    bn_stats_frac: float = 1.0
+    bn_grad_stats: str = "exact"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        cin = x.shape[-1] // 4
+        identity = x
+
+        def pgbn(name):
+            return ParityGroupBatchNorm(
+                parity=4,
+                use_running_average=not train,
+                dtype=self.dtype,
+                stats_frac=self.bn_stats_frac,
+                grad_stats=self.bn_grad_stats,
+                name=name,
+            )
+
+        w0 = ConvKernel((3, 3, cin, self.channels), name="Conv_0")()
+        out = lax.conv_general_dilated(
+            x, scatter_conv3x3_s1(w0).astype(self.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=_DIMS)
+        out = pgbn("BatchNorm_0")(out)
+        out = nn.relu(out)
+        w1 = ConvKernel((3, 3, self.channels, self.channels), name="Conv_1")()
+        out = lax.conv_general_dilated(
+            out, scatter_conv3x3_s1(w1).astype(self.dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=_DIMS)
+        out = pgbn("BatchNorm_1")(out)
+        return nn.relu(out + identity)
+
+
+# adopt BasicBlock's auto-name so param/stat paths (BasicBlock_i.*) are
+# identical and checkpoints interchange between plain and s2d head variants
+S2DBasicBlock.__name__ = "BasicBlock"
+S2DBasicBlock.__qualname__ = "BasicBlock"

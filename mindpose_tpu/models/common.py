@@ -4,10 +4,13 @@ All models are NHWC (TPU-native conv layout) with a configurable compute
 ``dtype`` (bf16 by default under AMP) and float32 parameters. BatchNorm
 statistics are always accumulated in float32 (flax upcasts internally).
 """
+from functools import partial
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 Dtype = Any
 
@@ -56,9 +59,18 @@ def batch_norm(
     stats_frac: float = 1.0,
     grad_stats: str = "exact",
 ):
-    if grad_stats not in ("exact", "frozen", "frozen_var"):
+    if grad_stats not in ("exact", "fused", "frozen", "frozen_var"):
         raise ValueError(
-            f"grad_stats must be 'exact', 'frozen_var' or 'frozen', got {grad_stats!r}"
+            "grad_stats must be 'exact', 'fused', 'frozen_var' or 'frozen', "
+            f"got {grad_stats!r}"
+        )
+    if grad_stats == "fused":
+        return FusedBatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=dtype,
+            name=name,
         )
     # momentum 0.9 mirrors the reference's BatchNorm2d default
     # (running = 0.9 * running + 0.1 * batch).
@@ -96,7 +108,6 @@ def _bn_train_stats(module: nn.Module, xs: jnp.ndarray, ra_mean, ra_var):
     """Train-mode batch moments over ``xs`` [N, c] (f32), with the running-
     stat EMA update and the module's ``grad_stats`` freezing policy applied.
     Shared by SubsampledBatchNorm and the s2d stem's ParityGroupBatchNorm."""
-    from jax import lax
 
     mean = jnp.mean(xs, axis=0)
     var = jnp.mean(jnp.square(xs), axis=0) - jnp.square(mean)
@@ -147,8 +158,6 @@ class SubsampledBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from jax import lax
-
         c = x.shape[-1]
         scale, bias, ra_mean, ra_var = _bn_variables(self, c)
         if self.use_running_average:
@@ -168,6 +177,106 @@ class SubsampledBatchNorm(nn.Module):
 # checkpoints interchange between exact-BN and subsampled-BN models.
 SubsampledBatchNorm.__name__ = "BatchNorm"
 SubsampledBatchNorm.__qualname__ = "BatchNorm"
+
+
+def _bn_train_apply(x, scale, bias, eps):
+    """Exact train-mode BN forward; returns y and the backward residuals.
+
+    Stats in f32 (E[x^2]-E[x]^2, matching flax's _compute_stats), normalize
+    as a single fused multiply-add in the compute dtype.
+    """
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(-1, c)
+    mean = jnp.mean(xf, axis=0)
+    var = jnp.mean(jnp.square(xf), axis=0) - jnp.square(mean)
+    inv = lax.rsqrt(var + eps)
+    mul = (inv * scale).astype(x.dtype)
+    add = (bias - mean * inv * scale).astype(x.dtype)
+    return x * mul + add, mean, var, inv
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bn_train_fused(x, scale, bias, eps):
+    """Train-mode BN with a hand-written minimal backward.
+
+    Primal outputs (y, mean, var): mean/var feed the running-stat EMA (a
+    side-effect path, so their cotangents are symbolic zeros in training;
+    the bwd rule still handles them exactly for generality).
+
+    The backward emits exactly two per-channel reductions over one fused
+    pass of (dy, x) — sum(dy) and sum(dy*xhat) — then one elementwise pass:
+
+        dx = scale*inv * (dy - sum(dy)/n - xhat * sum(dy*xhat)/n)
+
+    versus autodiff's separate dmean/dvar reduction chains. Numerics are
+    exact BN (same formula autodiff differentiates), validated against
+    jax.grad of the identical forward in tests/models/test_fused_bn.py.
+    """
+    y, mean, var, _ = _bn_train_apply(x, scale, bias, eps)
+    return y, mean, var
+
+
+def _bn_fused_fwd(x, scale, bias, eps):
+    y, mean, var, inv = _bn_train_apply(x, scale, bias, eps)
+    return (y, mean, var), (x, scale, mean, inv)
+
+
+def _bn_fused_bwd(eps, res, cts):
+    dy, dmean_ct, dvar_ct = cts
+    x, scale, mean, inv = res
+    c = x.shape[-1]
+    n = x.size // c
+    dyf = dy.astype(jnp.float32).reshape(-1, c)
+    xhat = (x.astype(jnp.float32).reshape(-1, c) - mean) * inv
+    sum_dy = jnp.sum(dyf, axis=0)
+    sum_dy_xhat = jnp.sum(dyf * xhat, axis=0)
+    dscale = sum_dy_xhat
+    dbias = sum_dy
+    dx = (scale * inv) * (dyf - sum_dy / n - xhat * (sum_dy_xhat / n))
+    # cotangents flowing back through the (mean, var) primal outputs (zero in
+    # the training step — the EMA update is a non-differentiated side effect)
+    dx = dx + dmean_ct / n + dvar_ct * (2.0 / n) * (xhat / inv)
+    return dx.reshape(x.shape).astype(x.dtype), dscale, dbias
+
+
+bn_train_fused.defvjp(_bn_fused_fwd, _bn_fused_bwd)
+
+
+class FusedBatchNorm(nn.Module):
+    """Exact BatchNorm with a custom-vjp fused backward (grad_stats="fused").
+
+    Forward semantics and running-stat updates match nn.BatchNorm (stats in
+    f32, momentum EMA); only the backward *implementation* differs — the
+    hand-written rule in bn_train_fused replaces autodiff's dmean/dvar
+    reduction chains with two reductions in one pass. Checkpoint-compatible
+    with nn.BatchNorm (params scale/bias, batch_stats mean/var, auto-name
+    "BatchNorm_i").
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale, bias, ra_mean, ra_var = _bn_variables(self, c)
+        if self.use_running_average:
+            inv = lax.rsqrt(ra_var.value + self.epsilon) * scale
+            mul = inv.astype(self.dtype)
+            add = (bias - ra_mean.value * inv).astype(self.dtype)
+            return x * mul + add
+        y, mean, var = bn_train_fused(x, scale, bias, self.epsilon)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        return y
+
+
+FusedBatchNorm.__name__ = "BatchNorm"
+FusedBatchNorm.__qualname__ = "BatchNorm"
 
 
 def resize_nearest(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:

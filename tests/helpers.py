@@ -31,12 +31,15 @@ DATASET_SETTING = {
 
 
 def make_tiny_coco(
-    root: str, num_images: int = 4, people_per_img: int = 2, seed: int = 0
+    root: str, num_images: int = 4, people_per_img: int = 2, seed: int = 0,
+    frame_hw=(240, 320), box_wh=(100, 180),
 ):
     """Write a synthetic COCO keypoint dataset (images + annotation json).
 
     Each person is a bright rectangle with deterministic keypoints inside.
-    Returns (image_root, annotation_path).
+    frame_hw/box_wh control the geometry (default: boxes covering a large
+    frame fraction; pass a big frame + small box for realistic-COCO byte
+    ratios, e.g. crop-before-ship tests). Returns (image_root, annotation_path).
     """
     rng = np.random.RandomState(seed)
     img_dir = os.path.join(root, "images")
@@ -45,12 +48,13 @@ def make_tiny_coco(
     images, annotations = [], []
     ann_id = 1
     for img_id in range(1, num_images + 1):
-        h, w = 240, 320
+        h, w = frame_hw
         img = rng.randint(0, 60, size=(h, w, 3), dtype=np.uint8)
         for p in range(people_per_img):
-            x0 = 20 + p * 150
+            bw, bh = box_wh
+            x0 = 20 + p * min(150, (w - bw - 25) // max(1, people_per_img - 1)
+                              if people_per_img > 1 else 150)
             y0 = 30 + 10 * p
-            bw, bh = 100, 180
             cv2.rectangle(img, (x0, y0), (x0 + bw, y0 + bh), (200, 160, 120), -1)
             kpts = []
             num_vis = 0

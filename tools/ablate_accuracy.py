@@ -124,6 +124,52 @@ def make_data(root: str, train_images: int, val_images: int,
     return paths
 
 
+def make_det_json(ann_path: str, out_path: str, seed: int = 0,
+                  jitter: float = 0.08, drop: float = 0.05,
+                  fp: float = 0.10) -> str:
+    """Detector-box noise for eval: jittered GT boxes + false positives.
+
+    Mirrors what real person-detector output looks like vs GT (the
+    reference evaluates on AP-56.4 detector boxes,
+    /root/reference/configs/hrnet/README.md:90): each kept GT box gets
+    center/size jitter of ~N(0, jitter) relative to its size and a
+    plausible confidence; `drop` of boxes are missed; `fp` of images gain
+    a random off-person false positive with low score.
+    """
+    rng = np.random.RandomState(seed + 12345)
+    with open(ann_path) as f:
+        ann = json.load(f)
+    dims = {im["id"]: (im["width"], im["height"]) for im in ann["images"]}
+    dets = []
+    for a in ann["annotations"]:
+        if rng.rand() < drop:
+            continue
+        x, y, w, h = a["bbox"]
+        cx, cy = x + w / 2 + rng.randn() * jitter * w, \
+            y + h / 2 + rng.randn() * jitter * h
+        w2 = w * float(np.exp(rng.randn() * jitter))
+        h2 = h * float(np.exp(rng.randn() * jitter))
+        dets.append({
+            "image_id": a["image_id"], "category_id": 1,
+            "bbox": [float(cx - w2 / 2), float(cy - h2 / 2),
+                     float(w2), float(h2)],
+            "score": float(np.clip(0.88 + rng.randn() * 0.08, 0.3, 1.0)),
+        })
+    for im in ann["images"]:
+        if rng.rand() < fp:
+            w, h = dims[im["id"]]
+            bw, bh = rng.uniform(0.1, 0.3) * w, rng.uniform(0.2, 0.5) * h
+            dets.append({
+                "image_id": im["id"], "category_id": 1,
+                "bbox": [float(rng.uniform(0, w - bw)),
+                         float(rng.uniform(0, h - bh)), float(bw), float(bh)],
+                "score": float(np.clip(0.45 + rng.randn() * 0.1, 0.05, 0.9)),
+            })
+    with open(out_path, "w") as f:
+        json.dump(dets, f)
+    return out_path
+
+
 def train_arm(arm: str, seed: int, data: dict, epochs: int, batch_size: int,
               backbone: str, head: str, pretrained_path: str = "",
               milestone_eval=None, head_args=None):
@@ -198,7 +244,8 @@ def train_arm(arm: str, seed: int, data: dict, epochs: int, batch_size: int,
 
 def eval_checkpoint(net, state, data: dict, decoder_kwargs: dict,
                     tta: bool = False,
-                    decoder_name: str = "topdown_heatmap") -> dict:
+                    decoder_name: str = "topdown_heatmap",
+                    det_file: str = "") -> dict:
     import mindpose_tpu as mp
     from mindpose_tpu.data import create_dataset, create_pipeline
     from mindpose_tpu.engine import create_evaluator, create_inferencer
@@ -206,7 +253,8 @@ def eval_checkpoint(net, state, data: dict, decoder_kwargs: dict,
     img_root, ann = data["val"]
     vds = create_dataset(img_root, ann, dataset_format="coco_topdown",
                          is_train=False, config=DATASET_SETTING,
-                         use_gt_bbox_for_val=True)
+                         use_gt_bbox_for_val=not det_file,
+                         detection_file=det_file or None)
     val_transforms = [
         "topdown_box_to_center_scale",
         {"topdown_affine": {"use_udp": decoder_kwargs.get("use_udp", False)}},
@@ -331,6 +379,10 @@ def main() -> None:
     p.add_argument("--tta", action="store_true",
                    help="eval with hflip TTA + shift heatmap (the "
                         "reference's published recipe)")
+    p.add_argument("--det-noise", action="store_true",
+                   help="evaluate on noisy detector-style boxes (jittered "
+                        "GT + false positives, make_det_json) instead of "
+                        "GT boxes — the reference's detector-box protocol")
     p.add_argument("--out", default="", help="write the JSON report here")
     args = p.parse_args()
 
@@ -340,6 +392,11 @@ def main() -> None:
                      "%d people/frame)", root, args.train_images,
                      args.val_images, args.people)
     data = make_data(root, args.train_images, args.val_images, args.people)
+    det_file = ""
+    if args.det_noise:
+        det_file = os.path.join(root, "val", "det_noisy.json")
+        if not os.path.exists(det_file):
+            make_det_json(data["val"][1], det_file)
 
     # Crash-safe incremental persistence: each finished (arm, seed) eval is
     # appended to <out>.runs.jsonl immediately, and on restart any pair that
@@ -366,7 +423,8 @@ def main() -> None:
             for label, dec_name, dec_kwargs in ARMS[arm]["evals"]:
                 result = eval_checkpoint(net, state, data, dec_kwargs,
                                          tta=args.tta,
-                                         decoder_name=dec_name)
+                                         decoder_name=dec_name,
+                                         det_file=det_file)
                 rec = {"label": label, "arm": arm, "seed": seed,
                        "AP": float(result["AP"]),
                        "AP50": float(result.get("AP .5", -1)),
@@ -382,7 +440,7 @@ def main() -> None:
             "train_images": args.train_images, "val_images": args.val_images,
             "people_per_img": args.people, "epochs": args.epochs,
             "batch_size": args.batch_size, "backbone": args.backbone,
-            "tta": bool(args.tta),
+            "tta": bool(args.tta), "det_noise": bool(args.det_noise),
             "paired": "same loader seed + init key across arms per seed",
         },
         "runs": runs,

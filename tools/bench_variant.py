@@ -72,6 +72,8 @@ if __name__ == "__main__":
         "bn4": {"bn_stats_frac": 0.25},
         "bn8": {"bn_stats_frac": 0.125},
         "s2d_bn4": {"stem_s2d": True, "bn_stats_frac": 0.25},
+        "bnfused": {"bn_grad_stats": "fused"},
+        "bnfrozen": {"bn_grad_stats": "frozen"},
     }
     for name in args.variants.split(","):
         backbone_args = cfgs[name] if args.backbone.startswith("hrnet") else {}

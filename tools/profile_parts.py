@@ -69,8 +69,12 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--width", type=int, default=32)
+    ap.add_argument("--input", default="256x192",
+                    help="input HxW (e.g. 512x512 for the bottom-up shape)")
     args = ap.parse_args()
     B, W = args.batch, args.width
+    IH, IW = (int(v) for v in args.input.split("x"))
+    SH, SW = IH // 4, IW // 4  # post-stem branch-0 resolution
 
     import flax.linen as nn
 
@@ -140,22 +144,22 @@ def main():
         rows.append((name, ms))
         print(f"{name:28s} {ms:8.2f} ms")
 
-    add("stem (256x192x3 -> /4)", Stem(), (256, 192, 3))
-    add("stage1 (4 bottleneck@64x48)", Stage1(), (64, 48, 64))
+    add(f"stem ({IH}x{IW}x3 -> /4)", Stem(), (IH, IW, 3))
+    add(f"stage1 (4 bottleneck@{SH}x{SW})", Stage1(), (SH, SW, 64))
     add("stage2 (1 mod, 2 br)", StageN(name_="s2", n_modules=1, n_branches=2,
-                                       channels=(W, W * 2)), (64, 48, W))
+                                       channels=(W, W * 2)), (SH, SW, W))
     add("stage3 (4 mod, 3 br)", StageN(name_="s3", n_modules=4, n_branches=3,
-                                       channels=(W, W * 2, W * 4)), (64, 48, W))
+                                       channels=(W, W * 2, W * 4)), (SH, SW, W))
     add("stage4 (3 mod, 4 br)", StageN(name_="s4", n_modules=3, n_branches=4,
-                                       channels=(W, W * 2, W * 4, W * 8)), (64, 48, W))
-    add("head (1x1 conv 32->17)", HeadLoss(), (64, 48, W))
+                                       channels=(W, W * 2, W * 4, W * 8)), (SH, SW, W))
+    add("head (1x1 conv 32->17)", HeadLoss(), (SH, SW, W))
 
     total = sum(ms for _, ms in rows)
     print(f"{'SUM of parts':28s} {total:8.2f} ms")
 
     # full backbone fwd+bwd for comparison
     net = HRNet(stage_cfg=_freeze_cfg(_w_cfg(W)), dtype=dt)
-    ms = time_fwd_bwd(net, (B, 256, 192, 3), args.iters)
+    ms = time_fwd_bwd(net, (B, IH, IW, 3), args.iters)
     print(f"{'full backbone fwd+bwd':28s} {ms:8.2f} ms")
 
 
