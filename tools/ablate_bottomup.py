@@ -32,9 +32,15 @@ from mindpose_tpu.parallel import build_train_step, create_train_state
 B = int(os.environ.get("ABLATE_BU_BATCH", 24))
 K, M = 17, 30
 
+# ABLATE_BU_VARIANT: "base" (round-3 layout) or "opt" (round-4 shipped
+# config: s2d head + branch0_s2d backbone + fused BN)
+_OPT = os.environ.get("ABLATE_BU_VARIANT", "opt") == "opt"
 net = mp.create_network(
     "hrnet_w32", "higher_hrnet_head", dtype=jnp.bfloat16,
-    head_args={"with_ae_loss": (True, False)},
+    backbone_args=(
+        {"branch0_s2d": True, "bn_grad_stats": "fused"} if _OPT else {}),
+    head_args={"with_ae_loss": (True, False),
+               "s2d_refine": _OPT},
 )
 loss = mp.create_loss(
     "ae_multi_loss", num_joints=K, num_stages=2,

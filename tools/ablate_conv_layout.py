@@ -88,3 +88,10 @@ run("C64 NHWC B12 128x128", 12, 128, 128, 64)
 # batch sensitivity at the slow shape (latency- vs throughput-bound?)
 run("C32 NHWC B48 128x128", 48, 128, 128, 32)
 run("C32 NHWC B96 128x128", 96, 128, 128, 32)
+# round-4 follow-up: is s2d worth it for branch-1 (C=64) chains?
+# plain C64 at bottom-up branch-1 geometry vs its s2d form (C256, 4x MACs)
+run("C64 NHWC B24 64x64 (branch1)", 24, 64, 64, 64)
+run("C256 NHWC B24 32x32 (b1 s2d)", 24, 32, 32, 256)
+run("C64 NHWC B24 128x128", 24, 128, 128, 64)
+run("C256 NHWC B24 64x64", 24, 64, 64, 256)
+# stage-1 bottleneck 3x3 geometry (C64 at 128x128 is its s2d-candidate)

@@ -74,6 +74,8 @@ if __name__ == "__main__":
         "s2d_bn4": {"stem_s2d": True, "bn_stats_frac": 0.25},
         "bnfused": {"bn_grad_stats": "fused"},
         "bnfrozen": {"bn_grad_stats": "frozen"},
+        "b0s2d": {"branch0_s2d": True},
+        "b0s2d_bnfused": {"branch0_s2d": True, "bn_grad_stats": "fused"},
     }
     for name in args.variants.split(","):
         backbone_args = cfgs[name] if args.backbone.startswith("hrnet") else {}
