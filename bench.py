@@ -205,9 +205,13 @@ def bench_bottomup_step(batch_per_chip: int = 24, iters: int = 10,
     batch = batch_per_chip * n_dev
     K, M = 17, 30
 
+    # defaults mirror the shipped recipe (configs/higher_hrnet/*_tpu.yaml):
+    # exact s2d rewrites + fused exact-BN backward (round-4 campaign)
+    if backbone_args is None:
+        backbone_args = {"branch0_s2d": True, "bn_grad_stats": "fused"}
     net = mp.create_network(
         "hrnet_w32", "higher_hrnet_head", dtype=jnp.bfloat16,
-        backbone_args=backbone_args or {},
+        backbone_args=backbone_args,
         head_args={"with_ae_loss": (True, False), **(head_args or {})},
     )
     loss = mp.create_loss(
