@@ -149,3 +149,56 @@ def test_ema_update_matches_closed_form():
         np.testing.assert_allclose(np.asarray(ema["w"]), expect, rtol=1e-6)
     # dtype preserved
     assert ema["w"].dtype == params["w"].dtype
+
+
+def test_dp_fused_bn_matches_exact_bn():
+    """custom_vjp FusedBatchNorm under the shard_map DP step.
+
+    SGD (not adam) on purpose: the fused backward is mathematically exact
+    but not bitwise (different reduction association, ~1e-7 relative);
+    adam's g/sqrt(v) normalization amplifies that to sign-level on
+    near-zero-grad leaves, so SGD is the optimizer under which "exact
+    backward" is testable as tight param equality. Direct grad parity vs
+    autodiff is covered in tests/models/test_fused_bn.py; here the subject
+    is the shard_map/pmean interaction.
+    """
+    from mindpose_tpu.models.common import batch_norm
+
+    class BnBackbone(nn.Module):
+        grad_stats: str = "exact"
+
+        @nn.compact
+        def __call__(self, x, train=True):
+            x = nn.Conv(8, (3, 3), strides=(2, 2), padding="SAME")(x)
+            x = batch_norm(train, grad_stats=self.grad_stats)(x)
+            return nn.relu(x)
+
+    def run(grad_stats):
+        mesh = create_mesh()
+        head = mp.create_head("hrnet_head", in_channels=8, num_joints=3)
+        net = Net(backbone=BnBackbone(grad_stats=grad_stats), head=head)
+        loss = mp.create_loss("joint_mse", use_target_weight=True)
+        nwl = mp.create_network_with_loss(net, loss, has_extra_inputs=True)
+        variables = net.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 16, 16, 3)), train=False)
+        tx = create_optimizer(variables["params"], "sgd", learning_rate=1e-2)
+        state = create_train_state(variables, tx)
+        step_fn = build_train_step(nwl, tx, mesh=mesh, donate=False)
+        batch = shard_batch(_batch(), mesh)
+        for _ in range(3):
+            state, lv = step_fn(state, *batch)
+        return state, float(jnp.sum(lv))
+
+    s_exact, l_exact = run("exact")
+    s_fused, l_fused = run("fused")
+    np.testing.assert_allclose(l_fused, l_exact, rtol=1e-5)
+    # params: SGD deltas = lr * grad deltas -> reassociation-level only
+    for a, b in zip(jax.tree_util.tree_leaves(s_exact.params),
+                    jax.tree_util.tree_leaves(s_fused.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
+    # running stats depend on the forward only -> near-bitwise
+    for a, b in zip(jax.tree_util.tree_leaves(s_exact.batch_stats),
+                    jax.tree_util.tree_leaves(s_fused.batch_stats)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=1e-7)
