@@ -159,8 +159,11 @@ class TopDownAffineMatrix(TopDownAffine):
     rectangle the output crop actually samples — the preimage AABB of the
     output corners under the warp, plus a bilinear margin — instead of the
     whole frame, with the matrix rebased to patch coordinates. The device
-    result is bit-identical (every sampled source pixel is inside the
-    patch; out-of-frame stays zero in both), while host->device bytes drop
+    result is equal up to f32 coordinate rounding (exact in exact
+    arithmetic: every sampled source pixel is inside the patch and
+    out-of-frame stays zero in both; the rebased translation reassociates
+    the f32 sample-coordinate sum, observed <=0.004 on a 0-255 scale —
+    tests/data/test_crop_source_patch.py), while host->device bytes drop
     from full padded frames (~126 MB/batch at VGA, batch 128) to roughly
     the person-crop footprint. Host cost is one numpy slice per record —
     full mode keeps its minimal-host-CPU property.
