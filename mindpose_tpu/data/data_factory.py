@@ -64,6 +64,7 @@ def create_pipeline(
     image_bucket: Optional[int] = None,
     decode_cache_mb: float = 0,
     frame_grouped_shuffle: bool = False,
+    patch_grouped_batching: bool = False,
 ) -> DataLoader:
     """Build the transform pipeline and return a batched DataLoader.
 
@@ -133,6 +134,7 @@ def create_pipeline(
         image_bucket=image_bucket,
         decode_cache_mb=decode_cache_mb,
         frame_grouped_shuffle=frame_grouped_shuffle,
+        patch_grouped_batching=patch_grouped_batching,
     )
 
 

@@ -199,6 +199,7 @@ class DataLoader:
         image_bucket: Optional[int] = None,
         decode_cache_mb: float = 0,
         frame_grouped_shuffle: bool = False,
+        patch_grouped_batching: bool = False,
     ) -> None:
         self.dataset = dataset
         self.transforms = list(transforms)
@@ -220,6 +221,16 @@ class DataLoader:
         # distinct compiled shapes; zero padding is warp-neutral since the
         # device warp zero-fills out-of-source samples anyway)
         self.image_bucket = image_bucket
+        # patch-grouped batching (full device pipeline): batches are padded
+        # to the batch MAX, so one near-frame-sized source patch makes every
+        # record in the batch pay its footprint (measured 111 MB/batch where
+        # the per-record mean is ~32). Opt-in: regroup processed records by
+        # their image_bucket shape and emit same-bucket batches (seq-len
+        # bucketing, the NLP trick, applied to warp source patches). Same
+        # records per epoch; batch COMPOSITION becomes size-correlated, a
+        # mild divergence from iid batching, and each distinct bucket shape
+        # compiles the step once (amortized by the persistent XLA cache).
+        self.patch_grouped_batching = patch_grouped_batching
         self.decode_cache_mb = decode_cache_mb
         self.decode_cache = (
             DecodedFrameCache(decode_cache_mb) if decode_cache_mb else None)
@@ -330,6 +341,9 @@ class DataLoader:
     def __iter__(self):
         indices = self._epoch_indices()
         self.epoch += 1
+        if self.patch_grouped_batching and self.image_bucket:
+            yield from self._iter_patch_grouped(indices)
+            return
         n_batches = len(self)
         batch_indices = [
             indices[i * self.batch_size : (i + 1) * self.batch_size]
@@ -371,6 +385,112 @@ class DataLoader:
 
         t = threading.Thread(target=producer, daemon=True,
                              name="loader-prefetch")
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    def _iter_patch_grouped(self, indices: np.ndarray):
+        """Emit same-bucket-shape batches of variable-size source patches.
+
+        Records are processed in shuffled order and accumulated per
+        image_bucket-rounded (H, W); a bucket emits as soon as it holds a
+        full batch, so every batch pads to exactly its bucket instead of the
+        epoch-wide max. Held leftovers are bounded: past 8x batch_size the
+        holder flushes size-SORTED mixed batches (neighbors in sorted order
+        pad nearly as tightly as same-bucket peers). Epoch end flushes the
+        tail the same way; a final partial batch obeys drop_remainder.
+        The grouping adds no nondeterminism of its own: given the records'
+        processed sizes, batch assembly is a pure function of arrival order
+        (sizes still vary with augmentation draws, which with >1 worker
+        interleave the shared RNG stream — same as the plain path). Every
+        record is emitted exactly once per epoch (multiset-tested,
+        tests/data/test_patch_grouped_batching.py).
+        """
+        b = self.image_bucket
+        bs = self.batch_size
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+        process_map = (
+            self._get_process_pool().map
+            if self.worker_mode == "process" and self.num_workers > 1
+            else None
+        )
+
+        def bucket_key(state) -> tuple:
+            h, w = np.asarray(state["image"]).shape[:2]
+            return (-(-h // b) * b, -(-w // b) * b)
+
+        def producer():
+            try:
+                buckets: Dict[tuple, list] = {}
+
+                def emit(states) -> bool:
+                    return _put_until_stopped(out_q, stop,
+                                              self._collate(states))
+
+                def flush_sorted(final: bool):
+                    """Drain the holder as size-sorted batches; re-file the
+                    sub-batch remainder unless this is the epoch-end flush.
+                    Returns False if the consumer stopped."""
+                    rest = sorted(
+                        (s for v in buckets.values() for s in v),
+                        key=lambda s: (s["image"].shape[0],
+                                       s["image"].shape[1]))
+                    buckets.clear()
+                    while len(rest) >= bs:
+                        if not emit(rest[:bs]):
+                            return False
+                        rest = rest[bs:]
+                    if final:
+                        if rest and not self.drop_remainder:
+                            return emit(rest)
+                        return True
+                    for s in rest:
+                        buckets.setdefault(bucket_key(s), []).append(s)
+                    return True
+
+                window = bs * 4
+                chunks = [indices[i: i + window]
+                          for i in range(0, len(indices), window)]
+                with ThreadPoolExecutor(
+                        max_workers=self.num_workers) as ex:
+                    for chunk in chunks:
+                        if stop.is_set():
+                            return
+                        if process_map is not None:
+                            states = process_map(
+                                _process_worker_run,
+                                [int(i) for i in chunk])
+                        else:
+                            states = list(ex.map(self._process_one, chunk))
+                        for s in states:
+                            buckets.setdefault(bucket_key(s), []).append(s)
+                        for k in list(buckets):
+                            while len(buckets[k]) >= bs:
+                                batch_states = buckets[k][:bs]
+                                del buckets[k][:bs]
+                                if not emit(batch_states):
+                                    return
+                        if sum(len(v) for v in buckets.values()) > bs * 8:
+                            if not flush_sorted(final=False):
+                                return
+                    if any(buckets.values()):
+                        if not flush_sorted(final=True):
+                            return
+                _put_until_stopped(out_q, stop, None)
+            except BaseException as e:  # surface worker errors
+                _put_until_stopped(out_q, stop, e)
+
+        t = threading.Thread(target=producer, daemon=True,
+                             name="loader-patch-grouped")
         t.start()
         try:
             while True:

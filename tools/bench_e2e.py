@@ -111,7 +111,9 @@ def make_synth_coco(root: str, num_images: int, people_per_img: int = 8,
 
 def build_loader(mode: str, img_root: str, ann: str, batch_size: int,
                  num_workers: int, decode_cache_mb: float = 0,
-                 frame_grouped_shuffle: bool = False):
+                 frame_grouped_shuffle: bool = False,
+                 crop_source_patch: bool = True,
+                 patch_grouped: bool = False):
     from mindpose_tpu.data import create_dataset, create_pipeline
 
     ds = create_dataset(img_root, ann, dataset_format="coco_topdown",
@@ -138,6 +140,14 @@ def build_loader(mode: str, img_root: str, ann: str, batch_size: int,
             normalize_mean=MEAN, normalize_std=STD, **target_kwargs)
         if mode == "full":
             transforms = to_matrix_transforms(transforms)
+            if not crop_source_patch:  # bytes A/B: ship whole padded frames
+                transforms = [
+                    {"topdown_affine_matrix":
+                     {**next(iter(t.values())), "crop_source_patch": False}}
+                    if not isinstance(t, str)
+                    and next(iter(t)) == "topdown_affine_matrix" else t
+                    for t in transforms
+                ]
             preprocess = build_topdown_full_preprocess(**pp_kwargs)
             final_columns = DEVICE_FULL_FINAL_COLUMNS
             image_bucket = 64
@@ -150,7 +160,8 @@ def build_loader(mode: str, img_root: str, ann: str, batch_size: int,
         normalize_std=STD, num_workers=num_workers, config=DATASET_SETTING,
         seed=0, final_columns=final_columns, image_bucket=image_bucket,
         decode_cache_mb=decode_cache_mb,
-        frame_grouped_shuffle=frame_grouped_shuffle)
+        frame_grouped_shuffle=frame_grouped_shuffle,
+        patch_grouped_batching=patch_grouped)
     cols = final_columns or ["image", "target", "target_weight"]
     return loader, preprocess, cols
 
@@ -195,11 +206,40 @@ def measure_loader_only(mode: str, img_root: str, ann: str,
     }
 
 
+def measure_bytes(mode: str, img_root: str, ann: str, batch_size: int = 128,
+                  num_workers: int = 8) -> dict:
+    """Host->device bytes per batch: what each mode would ship over the link.
+
+    Device-free (runs under JAX_PLATFORMS=cpu), so it can quantify the
+    `crop_source_patch` lever (mode "full_nocrop" disables it) without
+    contending for the chip. Sums the nbytes of every final-column array
+    over one epoch of the real loader, same augmentation draws as training.
+    """
+    crop = mode != "full_nocrop"
+    loader, _, cols = build_loader("full" if mode.startswith("full") else mode,
+                                   img_root, ann, batch_size, num_workers,
+                                   crop_source_patch=crop,
+                                   patch_grouped=(mode == "full_grouped"))
+    per_batch = []
+    for batch in loader:
+        per_batch.append(sum(np.asarray(batch[c]).nbytes for c in cols))
+    mb = [b / 1e6 for b in per_batch]
+    return {
+        "mode": f"{mode}+bytes_only",
+        "batches": len(mb),
+        "mb_per_batch_mean": round(float(np.mean(mb)), 1),
+        "mb_per_batch_max": round(float(np.max(mb)), 1),
+        "batch_size": batch_size,
+        "columns": cols,
+    }
+
+
 def measure_e2e(mode: str, img_root: str, ann: str, batch_size: int = 128,
                 epochs: int = 3, num_workers: int = 8,
                 backbone: str = "hrnet_w32", head: str = "hrnet_head",
                 decode_cache_mb: float = 0,
-                device_prefetch: int = 0) -> dict:
+                device_prefetch: int = 0,
+                patch_grouped: bool = False) -> dict:
     """Wall-clock epochs of loader -> device -> step; img/s over epochs >= 2."""
     import jax
     import jax.numpy as jnp
@@ -216,7 +256,8 @@ def measure_e2e(mode: str, img_root: str, ann: str, batch_size: int = 128,
     devices = jax.devices()
     mesh = create_mesh() if len(devices) > 1 else None
     loader, preprocess, cols = build_loader(mode, img_root, ann, batch_size,
-                                            num_workers, decode_cache_mb)
+                                            num_workers, decode_cache_mb,
+                                            patch_grouped=patch_grouped)
     net = mp.create_network(backbone, head, dtype=jnp.bfloat16)
     loss = mp.create_loss("joint_mse", use_target_weight=True)
     nwl = mp.create_network_with_loss(net, loss, has_extra_inputs=True)
@@ -262,6 +303,7 @@ def measure_e2e(mode: str, img_root: str, ann: str, batch_size: int = 128,
         "mode": mode,
         "decode_cache_mb": decode_cache_mb,
         "device_prefetch": device_prefetch,
+        "patch_grouped": patch_grouped,
         "e2e_images_per_sec": round(max(epoch_rates), 1),
         "epoch_rates": [round(r, 1) for r in epoch_rates],
         "batch_size": batch_size,
@@ -291,6 +333,14 @@ def main() -> None:
                         "queue depth (0 disables)")
     p.add_argument("--loader-only", action="store_true",
                    help="host-pipeline ceiling: no device in the loop")
+    p.add_argument("--bytes-only", action="store_true",
+                   help="report host->device MB/batch per mode, no device; "
+                        "accepts the extra modes 'full_nocrop' "
+                        "(crop_source_patch=false A/B) and 'full_grouped' "
+                        "(patch_grouped_batching=true)")
+    p.add_argument("--patch-grouped", action="store_true",
+                   help="full mode: emit same-bucket-shape batches "
+                        "(loader patch_grouped_batching)")
     p.add_argument("--frame-grouped-shuffle", action="store_true",
                    help="shuffle frames (same-frame records adjacent) so "
                         "the decode cache hits with a tiny budget")
@@ -307,8 +357,13 @@ def main() -> None:
     results = []
     for mode in args.modes.split(","):
         mode = mode.strip()
-        assert mode in MODES, f"unknown mode {mode!r}"
-        if args.loader_only:
+        extra = ("full_nocrop", "full_grouped") if args.bytes_only else ()
+        assert mode in MODES + extra, f"unknown mode {mode!r}"
+        if args.bytes_only:
+            results.append(measure_bytes(
+                mode, img_root, ann, batch_size=args.batch_size,
+                num_workers=args.num_workers))
+        elif args.loader_only:
             results.append(measure_loader_only(
                 mode, img_root, ann, batch_size=args.batch_size,
                 epochs=args.epochs, num_workers=args.num_workers,
@@ -320,9 +375,12 @@ def main() -> None:
                 epochs=args.epochs, num_workers=args.num_workers,
                 backbone=args.backbone, head=args.head,
                 decode_cache_mb=args.decode_cache_mb,
-                device_prefetch=args.device_prefetch))
+                device_prefetch=args.device_prefetch,
+                patch_grouped=args.patch_grouped))
         print(json.dumps(results[-1]), flush=True)
-    key = "loader_images_per_sec" if args.loader_only else "e2e_images_per_sec"
+    key = ("mb_per_batch_mean" if args.bytes_only else
+           "loader_images_per_sec" if args.loader_only else
+           "e2e_images_per_sec")
     print(json.dumps({"e2e_summary": {r["mode"]: r[key] for r in results}}))
 
 

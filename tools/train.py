@@ -214,6 +214,10 @@ def train(args) -> None:
         # (records/frame - 1)/records/frame on any dataset size
         frame_grouped_shuffle=bool(
             getattr(args, "frame_grouped_shuffle", False)),
+        # full mode: same-bucket-shape batches so one large source patch
+        # doesn't inflate the whole batch's padding (docs/performance.md)
+        patch_grouped_batching=bool(
+            getattr(args, "patch_grouped_batching", False)),
     )
 
     val_while_train = getattr(args, "val_while_train", False)
