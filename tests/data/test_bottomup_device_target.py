@@ -18,6 +18,11 @@ from mindpose_tpu.data.transform.bottomup_transform import (
 )
 from mindpose_tpu.ops.target import generate_bottomup_targets
 
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
+
 CFG = {
     "image_size": [256, 256],
     "max_image_size": [256, 256],

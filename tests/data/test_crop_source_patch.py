@@ -32,6 +32,11 @@ from mindpose_tpu.ops.image import affine_warp
 
 from tests.engine.test_train_eval_e2e import TINY_SETTING  # noqa: F401
 
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
+
 
 def _warp(image, mat, out_hw):
     return np.asarray(

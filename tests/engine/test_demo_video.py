@@ -10,6 +10,12 @@ import numpy as np
 from flax import serialization
 
 import mindpose_tpu as mp
+import pytest
+
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
 
 _REPO = os.path.join(os.path.dirname(__file__), "..", "..")
 

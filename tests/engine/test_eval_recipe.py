@@ -25,11 +25,16 @@ from mindpose_tpu.parallel import build_train_step, create_train_state
 
 # registers tiny_test_backbone
 from tests.engine.test_train_eval_e2e import (  # noqa: F401
+
     BOTTOMUP_EVAL_SETTING,
     BOTTOMUP_SETTING,
     EVAL_SETTING,
     TINY_SETTING,
 )
+
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
 
 SETTING = {**TINY_SETTING, "det_bbox_thr": 0.1}
 

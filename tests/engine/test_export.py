@@ -12,6 +12,12 @@ import numpy as np
 import mindpose_tpu as mp
 from mindpose_tpu.engine import export_eval_net, load_serving_fn
 from mindpose_tpu.models.networks import Net
+import pytest
+
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
 
 
 class _TinyBackbone(nn.Module):

@@ -24,6 +24,11 @@ from mindpose_tpu.optim import create_optimizer
 from mindpose_tpu.parallel import build_train_step, create_train_state
 from mindpose_tpu.register import has_component, register
 
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
+
 
 if not has_component("backbone", "tiny_test_backbone"):
 

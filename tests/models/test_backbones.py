@@ -11,6 +11,11 @@ import pytest
 
 import mindpose_tpu as mp
 
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
+
 
 def _param_count(variables):
     params = sum(

@@ -23,6 +23,11 @@ from mindpose_tpu.models.backbones.convert import (
 from mindpose_tpu.models.model_factory import create_backbone
 from mindpose_tpu.utils.ms_ckpt import read_ms_checkpoint, write_ms_checkpoint
 
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
+
 
 def test_ms_ckpt_roundtrip(tmp_path):
     rng = np.random.default_rng(0)

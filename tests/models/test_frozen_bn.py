@@ -14,6 +14,11 @@ import pytest
 import mindpose_tpu as mp
 from mindpose_tpu.models.common import SubsampledBatchNorm, batch_norm
 
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
+
 
 def test_factory_dispatch():
     import flax.linen as nn

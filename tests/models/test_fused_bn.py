@@ -16,11 +16,16 @@ import numpy as np
 import pytest
 
 from mindpose_tpu.models.common import (
+
     FusedBatchNorm,
     _bn_train_apply,
     batch_norm,
     bn_train_fused,
 )
+
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
 
 
 def _mk(shape=(8, 6, 5, 7), seed=0, dtype=np.float32):

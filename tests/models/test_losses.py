@@ -4,11 +4,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from mindpose_tpu.models.loss import (
+
     AELoss,
     AEMultiLoss,
     JointsMSELoss,
     JointsMSELossWithMask,
 )
+import pytest
+
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
 
 
 def test_joints_mse_loss_golden():

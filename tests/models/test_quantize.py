@@ -7,11 +7,17 @@ import numpy as np
 import mindpose_tpu as mp
 from mindpose_tpu.models.networks import Net
 from mindpose_tpu.models.quantize import (
+
     dequantize_variables,
     quantize_variables,
     quantized_bytes,
     quantized_eval_apply,
 )
+import pytest
+
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
 
 
 class SmallBackbone(nn.Module):

@@ -21,6 +21,11 @@ from mindpose_tpu.models.backbones.s2d import (
 )
 from mindpose_tpu.models.heads.higher_hrnet_head import HigherHRNetHead
 
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
+
 rng = np.random.RandomState(0)
 
 

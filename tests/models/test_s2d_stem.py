@@ -10,10 +10,15 @@ import pytest
 
 from mindpose_tpu.models.backbones.hrnet import HRNet, _freeze_cfg, _w_cfg
 from mindpose_tpu.models.backbones.s2d import (
+
     scatter_stem_conv1,
     scatter_stem_conv2,
     space_to_depth,
 )
+
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
 
 
 def _nets():

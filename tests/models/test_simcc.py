@@ -9,6 +9,12 @@ from mindpose_tpu.data.transform.topdown_transform import (
     TopDownGenerateSimCCTarget,
 )
 from mindpose_tpu.models.networks import Net
+import pytest
+
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
 
 SETTING = {
     "image_size": [48, 64],  # (W, H)

@@ -5,6 +5,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from mindpose_tpu.models.common import SubsampledBatchNorm, batch_norm
+import pytest
+
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
 
 
 def test_frac_one_is_plain_flax_bn():

@@ -6,6 +6,11 @@ import pytest
 
 import mindpose_tpu as mp
 
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
+
 
 def _count(tree):
     return sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(tree))

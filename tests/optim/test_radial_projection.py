@@ -11,9 +11,15 @@ import numpy as np
 import mindpose_tpu as mp
 from mindpose_tpu.optim import create_optimizer
 from mindpose_tpu.optim.optim_factory import (
+
     project_radial,
     radial_projection_mask,
 )
+import pytest
+
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
 
 
 def test_projected_grad_is_orthogonal_per_channel():

@@ -31,6 +31,11 @@ from mindpose_tpu.parallel import (
 from mindpose_tpu.parallel.fsdp import fsdp_spec
 from mindpose_tpu.parallel.mesh import MODEL_AXIS
 
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
+
 MIN_SIZE = 4096  # test-scale threshold so the tiny model's big leaves shard
 
 

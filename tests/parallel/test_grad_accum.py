@@ -18,6 +18,7 @@ import mindpose_tpu as mp
 from mindpose_tpu.models.networks import Net
 from mindpose_tpu.optim import create_optimizer
 from mindpose_tpu.parallel import (
+
     build_fsdp_train_step,
     build_train_step,
     create_mesh,
@@ -26,6 +27,10 @@ from mindpose_tpu.parallel import (
     shard_batch,
     shard_train_state,
 )
+
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
 
 MIN_SIZE = 4096
 

@@ -11,6 +11,11 @@ import sys
 
 import pytest
 
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
+
 _RUNNER = os.path.join(os.path.dirname(__file__), "..", "multihost_runner.py")
 
 

@@ -14,11 +14,17 @@ import mindpose_tpu as mp
 from mindpose_tpu.models.networks import Net
 from mindpose_tpu.optim import create_optimizer
 from mindpose_tpu.parallel import (
+
     build_train_step,
     create_mesh,
     create_train_state,
     shard_batch,
 )
+import pytest
+
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
 
 
 class TinyBackbone(nn.Module):

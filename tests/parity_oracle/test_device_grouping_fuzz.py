@@ -39,6 +39,12 @@ sys.path.insert(0, "tests")
 from parity_oracle.oracle import COCO_JOINT_ORDER, FUZZ_N, load_oracle
 
 from mindpose_tpu.ops.grouping import match_by_tag_device
+import pytest
+
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
 
 ORACLE = load_oracle()
 

@@ -3,6 +3,12 @@ import numpy as np
 
 from mindpose_tpu.ops.grouping import match_by_tag_batch, match_by_tag_device
 from mindpose_tpu.utils.match import match_by_tag
+import pytest
+
+# JAX-compile-heavy: runs only in the full tier (pytest -m "" / no -m filter); the
+# fast gate is `pytest -m "not slow"` — see README "Running the tests"
+pytestmark = pytest.mark.slow
+
 
 
 def _case(num_instances=3, k=5, m=8, tag_sep=4.0, seed=0):
