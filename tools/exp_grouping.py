@@ -1,16 +1,21 @@
 """Device-vs-host AE grouping AP comparison across independently trained
 checkpoints (round-4: one-checkpoint evidence -> multi-seed evidence).
 
-Per seed: train HigherHRNet-W32 on synthetic multi-person COCO at 256x256
-(heatmaps 64+128 — the round-3 bottom-up benchmark protocol,
-configs/higher_hrnet/README.md), then evaluate the SAME checkpoint twice:
-host scipy-Hungarian grouping vs the jittable fixed-capacity device matcher
-(ops/grouping.py, default on accelerators). Reports per-seed AP pairs and
-the max |delta|. Crash-safe: finished seeds append to <out>.runs.jsonl and
-are skipped on resume.
+Per seed: train HigherHRNet-W32 on synthetic multi-person COCO at
+--image-size (256 default — the round-3 bottom-up benchmark protocol;
+512 = the reference's recipe size,
+/root/reference/configs/higher_hrnet/higher_hrnet_w32_ascend.yaml), then
+evaluate the SAME checkpoint twice: host scipy-Hungarian grouping vs the
+jittable fixed-capacity device matcher (ops/grouping.py, default on
+accelerators). --hflip-tta / --multiscale / refine_missing pin the full
+published eval recipe end-to-end. Reports per-seed AP pairs and the max
+|delta|. Crash-safe: finished seeds append to <out>.runs.jsonl and are
+skipped on resume.
 
     python tools/exp_grouping.py --seeds 0,1,2 --epochs 150 \
         --out docs/experiments/grouping_device_vs_host_r4.json
+    python tools/exp_grouping.py --seeds 0 --image-size 512 --hflip-tta \
+        --multiscale 1.0,2.0 --out docs/experiments/grouping_512_r5.json
 """
 import argparse
 import json
@@ -63,6 +68,14 @@ EVAL_SETTING = {
 K, M = 17, 30
 
 
+def apply_image_size(size: int) -> None:
+    """Re-derive the size-coupled settings for a square --image-size."""
+    SETTING["image_size"] = [size, size]
+    SETTING["max_image_size"] = [size, size]
+    SETTING["heatmap_sizes"] = [[size // 4, size // 4],
+                                [size // 2, size // 2]]
+
+
 def train_seed(seed: int, data, epochs: int, batch_size: int,
                steps_per_epoch: int):
     import jax
@@ -80,7 +93,7 @@ def train_seed(seed: int, data, epochs: int, batch_size: int,
         ds,
         [{"bottomup_random_affine": {"rot_factor": 20,
                                      "scale_factor": [0.8, 1.2]}},
-         {"bottomup_random_flip": {"flip_prob": 0.5}},
+         {"bottomup_horizontal_random_flip": {"flip_prob": 0.5}},
          {"bottomup_generate_target": {"sigma": 2.0, "max_num": M}}],
         method="bottomup", batch_size=batch_size, is_train=True,
         config=SETTING, seed=seed, num_workers=2,
@@ -97,8 +110,9 @@ def train_seed(seed: int, data, epochs: int, batch_size: int,
         with_mse_loss=[True, True], with_ae_loss=[True, False],
     )
     nwl = mp.create_network_with_loss(net, loss, has_extra_inputs=True)
+    h, w = SETTING["image_size"][1], SETTING["image_size"][0]
     variables = net.init(jax.random.PRNGKey(seed),
-                         jnp.zeros((1, 256, 256, 3), jnp.float32),
+                         jnp.zeros((1, h, w, 3), jnp.float32),
                          train=False)
     tx = create_optimizer(variables["params"], "adam", learning_rate=1e-3)
     state = create_train_state(variables, tx)
@@ -121,7 +135,9 @@ def train_seed(seed: int, data, epochs: int, batch_size: int,
     return net, state
 
 
-def eval_grouping(net, state, data, device_grouping: bool) -> dict:
+def eval_grouping(net, state, data, device_grouping: bool,
+                  hflip_tta: bool = False, multiscale=(1.0,),
+                  eval_batch: int = 4) -> dict:
     import mindpose_tpu as mp
     from mindpose_tpu.data import create_dataset, create_pipeline
     from mindpose_tpu.engine import create_evaluator, create_inferencer
@@ -130,13 +146,14 @@ def eval_grouping(net, state, data, device_grouping: bool) -> dict:
     vds = create_dataset(img_root, ann, dataset_format="coco_bottomup",
                          is_train=False, config=SETTING)
     vloader = create_pipeline(vds, ["bottomup_rescale", "bottomup_pad"],
-                              method="bottomup", batch_size=4,
+                              method="bottomup", batch_size=eval_batch,
                               is_train=False, config=SETTING)
     decoder = mp.create_decoder(
         "bottomup_heatmap_ae", num_joints=K, num_stages=2,
         with_ae_loss=(True, False), use_nms=True, nms_kernel=3, max_num=M)
     eval_net = mp.create_eval_network(net, decoder, output_raw=True)
-    cfg = {**EVAL_SETTING, "device_grouping": device_grouping}
+    cfg = {**EVAL_SETTING, "device_grouping": device_grouping,
+           "hflip_tta": hflip_tta, "multiscale_tta": tuple(multiscale)}
     inferencer = create_inferencer(eval_net, name="bottomup_heatmap_ae",
                                    config=cfg, dataset_config=SETTING)
     with tempfile.TemporaryDirectory() as td:
@@ -160,9 +177,20 @@ def main():
     p.add_argument("--train-images", type=int, default=160)
     p.add_argument("--val-images", type=int, default=120)
     p.add_argument("--people", type=int, default=4)
+    p.add_argument("--image-size", type=int, default=256,
+                   help="square train/eval input size (512 = the "
+                        "reference's HigherHRNet recipe)")
+    p.add_argument("--hflip-tta", action="store_true",
+                   help="eval with horizontal-flip TTA (the published "
+                        "bottom-up recipe)")
+    p.add_argument("--multiscale", default="1.0",
+                   help="comma-separated eval TTA scales, e.g. 1.0,2.0")
+    p.add_argument("--eval-batch", type=int, default=4)
     p.add_argument("--data-root", default="")
     p.add_argument("--out", default="")
     args = p.parse_args()
+    apply_image_size(args.image_size)
+    scales = tuple(float(s) for s in args.multiscale.split(","))
 
     root = args.data_root or tempfile.mkdtemp(prefix="exp_grouping_")
     data = {}
@@ -192,8 +220,12 @@ def main():
             continue
         net, state = train_seed(seed, data, args.epochs, args.batch_size,
                                 args.steps_per_epoch)
-        host = eval_grouping(net, state, data, device_grouping=False)
-        dev = eval_grouping(net, state, data, device_grouping=True)
+        host = eval_grouping(net, state, data, device_grouping=False,
+                             hflip_tta=args.hflip_tta, multiscale=scales,
+                             eval_batch=args.eval_batch)
+        dev = eval_grouping(net, state, data, device_grouping=True,
+                            hflip_tta=args.hflip_tta, multiscale=scales,
+                            eval_batch=args.eval_batch)
         rec = {"seed": seed, "AP_host": float(host["AP"]),
                "AP_device": float(dev["AP"]),
                "delta": float(dev["AP"] - host["AP"])}
@@ -210,7 +242,12 @@ def main():
             "people_per_img": args.people, "epochs": args.epochs,
             "steps_per_epoch": args.steps_per_epoch,
             "batch_size": args.batch_size,
-            "model": "higher_hrnet_w32 256x256 heatmaps 64+128",
+            "model": "higher_hrnet_w32 %dx%d heatmaps %d+%d" % (
+                args.image_size, args.image_size,
+                args.image_size // 4, args.image_size // 2),
+            "hflip_tta": bool(args.hflip_tta),
+            "multiscale_tta": list(scales),
+            "refine_missing_joint": EVAL_SETTING["refine_missing_joint"],
         },
         "runs": runs,
         "max_abs_delta": max(deltas) if deltas else None,
