@@ -86,18 +86,32 @@ def train_seed(seed: int, data, epochs: int, batch_size: int,
     from mindpose_tpu.optim import create_optimizer
     from mindpose_tpu.parallel import build_train_step, create_train_state
 
+    from mindpose_tpu.data.device_pipeline import (
+        BOTTOMUP_DEVICE_FINAL_COLUMNS,
+        build_bottomup_preprocess,
+    )
+
     img_root, ann = data["train"]
     ds = create_dataset(img_root, ann, dataset_format="coco_bottomup",
                         is_train=True, config=SETTING)
+    # device pipeline (round-3 design): the host stops after the cv2 warps +
+    # AE tag indices; the multi-level Gaussian targets render inside the
+    # jitted step (ops/target.py) — on this 1-core host the host-side
+    # rasterizer alone is slower than the TPU step and starves it
     loader = create_pipeline(
         ds,
         [{"bottomup_random_affine": {"rot_factor": 20,
                                      "scale_factor": [0.8, 1.2]}},
          {"bottomup_horizontal_random_flip": {"flip_prob": 0.5}},
-         {"bottomup_generate_target": {"sigma": 2.0, "max_num": M}}],
+         {"bottomup_generate_tag_ind": {"sigma": 2.0, "max_num": M}}],
         method="bottomup", batch_size=batch_size, is_train=True,
-        config=SETTING, seed=seed, num_workers=2,
+        config=SETTING, seed=seed, num_workers=2, normalize=False,
+        final_columns=BOTTOMUP_DEVICE_FINAL_COLUMNS,
     )
+    preprocess = build_bottomup_preprocess(
+        heatmap_sizes=SETTING["heatmap_sizes"],
+        normalize_mean=[0.485, 0.456, 0.406],
+        normalize_std=[0.229, 0.224, 0.225], sigma=2.0)
     net = mp.create_network(
         "hrnet_w32", "higher_hrnet_head", dtype=jnp.bfloat16,
         backbone_args={"branch0_s2d": True, "bn_grad_stats": "fused"},
@@ -116,7 +130,7 @@ def train_seed(seed: int, data, epochs: int, batch_size: int,
                          train=False)
     tx = create_optimizer(variables["params"], "adam", learning_rate=1e-3)
     state = create_train_state(variables, tx)
-    step_fn = build_train_step(nwl, tx, mesh=None)
+    step_fn = build_train_step(nwl, tx, mesh=None, preprocess=preprocess)
 
     t0 = time.time()
     it = iter(loader)
@@ -127,11 +141,12 @@ def train_seed(seed: int, data, epochs: int, batch_size: int,
             except StopIteration:
                 it = iter(loader)
                 batch = next(it)
-            state, lv = step_fn(state, batch["image"], batch["target"],
+            state, lv = step_fn(state, batch["image"], batch["keypoints"],
                                 batch["mask"], batch["tag_ind"])
         if (ep + 1) % 25 == 0:
+            # ae_multi_loss returns stacked per-component losses
             logging.info("seed %d epoch %d loss %.5f (%.0fs)", seed, ep + 1,
-                         float(np.asarray(lv)), time.time() - t0)
+                         float(np.asarray(lv).mean()), time.time() - t0)
     return net, state
 
 
