@@ -33,7 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _chain_kernel(x_ref, w_ref, o_ref, buf_a, buf_b, *, depth, strip):
+def _chain_kernel(x_ref, w_ref, o_ref, buf_a, buf_b, im2_ref, *, depth,
+                  strip):
     H, W, C = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     # zero the padded borders once; interiors are fully overwritten per conv
     buf_a[:] = jnp.zeros_like(buf_a)
@@ -50,9 +51,15 @@ def _chain_kernel(x_ref, w_ref, o_ref, buf_a, buf_b, *, depth, strip):
             r = s * strip
             # (strip+2, W+2, C) window covering the strip's halo
             win = src[pl.ds(r, strip + 2), :, :]
-            taps = [win[dy:dy + strip, dx:dx + W, :]
-                    for dy in range(3) for dx in range(3)]
-            im2col = jnp.concatenate(taps, axis=-1).reshape(strip * W, 9 * C)
+            # stage the 9 shifted taps through VMEM scratch: Mosaic cannot
+            # concatenate vectors whose layouts carry the taps' differing
+            # sublane/lane offsets ("offset mismatch on non-concat
+            # dimension"); stores re-lay each tap at offset zero
+            for i, (dy, dx) in enumerate((dy, dx) for dy in range(3)
+                                         for dx in range(3)):
+                im2_ref[:, :, i * C:(i + 1) * C] = \
+                    win[dy:dy + strip, dx:dx + W, :]
+            im2col = im2_ref[:].reshape(strip * W, 9 * C)
             acc = jnp.dot(im2col, w_l, preferred_element_type=jnp.float32)
             out = jnp.maximum(acc, 0.0).astype(src.dtype)
             dst[pl.ds(r + 1, strip), 1:1 + W, :] = out.reshape(strip, W, C)
@@ -97,6 +104,7 @@ def fused_conv_chain(x: jax.Array, weights: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((H + 2, W + 2, C), x.dtype),
             pltpu.VMEM((H + 2, W + 2, C), x.dtype),
+            pltpu.VMEM((strip, W, 9 * C), x.dtype),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
